@@ -1,0 +1,108 @@
+"""Pallas TPU block-sparse SpMM.
+
+``y = A @ x`` where ``A`` is stored as nonzero ``tm×tk`` tiles (:class:`BCSR`).
+Each grid step multiplies one adjacency tile against one ``tk×TN`` slab of the
+feature matrix on the MXU and accumulates into the output block for that tile's
+block row. Tiles are sorted by block row, so consecutive grid steps that share a
+block row keep the output block resident in VMEM (the classic Pallas
+"revisiting output" accumulation pattern); the tile's block-row/col coordinates
+are scalar-prefetched so the BlockSpec index maps can route DMA before the body
+runs.
+
+This is the TPU-native replacement for the reference's single sparse op,
+``torch.spmm`` (reference ``pygcn/layers.py:34``): instead of a CUDA CSR kernel,
+the sparsity is expressed as an MXU-tile schedule.
+
+Backward: ``dx = A^T @ dy`` runs the same kernel over prebuilt transpose tiles
+(``Graph.bcsr_t``; symmetric graphs reuse the forward tiles). The cotangent for
+the adjacency itself is structurally zero (adjacencies are data, not params) —
+returned as zeros and dead-code-eliminated by XLA.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pygcn_tpu.graph.graph import BCSR, Graph
+
+TN = 128  # feature-dimension tile (lane width)
+
+
+def _interpret() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+def _kernel(br_ref, bc_ref, data_ref, x_ref, out_ref):
+    i = pl.program_id(1)
+    prev = br_ref[jnp.maximum(i - 1, 0)]
+    first_of_row = jnp.logical_or(i == 0, br_ref[i] != prev)
+
+    @pl.when(first_of_row)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    out_ref[...] += jnp.dot(
+        data_ref[0], x_ref[...], preferred_element_type=out_ref.dtype
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("n_rows",))
+def bcsr_spmm(bcsr: BCSR, x: jax.Array, *, n_rows: int) -> jax.Array:
+    """``A @ x`` with ``A`` in BCSR tiles. ``x``: [n_cols, H] → [n_rows, H]."""
+    tm, tk = bcsr.tm, bcsr.tk
+    t = bcsr.data.shape[0]
+    h = x.shape[1]
+    hn = -(-h // TN)
+
+    x_pad_rows = bcsr.n_block_cols * tk - x.shape[0]
+    x_pad_cols = hn * TN - h
+    if x_pad_rows or x_pad_cols:
+        x = jnp.pad(x, ((0, x_pad_rows), (0, x_pad_cols)))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # block_rows, block_cols
+        grid=(hn, t),
+        in_specs=[
+            pl.BlockSpec((1, tm, tk), lambda j, i, br, bc: (i, 0, 0)),
+            pl.BlockSpec((tk, TN), lambda j, i, br, bc: (bc[i], j)),
+        ],
+        out_specs=pl.BlockSpec((tm, TN), lambda j, i, br, bc: (br[i], j)),
+    )
+
+    out = pl.pallas_call(
+        _kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((bcsr.n_block_rows * tm, hn * TN), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * t * tm * tk * hn * TN,
+            bytes_accessed=(t * tm * tk + t * tk * TN + bcsr.n_block_rows * tm * hn * TN) * 4,
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(bcsr.block_rows, bcsr.block_cols, bcsr.data, x)
+
+    return out[:n_rows, :h]
+
+
+@jax.custom_vjp
+def bcsr_spmm_vjp(graph: Graph, x: jax.Array) -> jax.Array:
+    return bcsr_spmm(graph.bcsr, x, n_rows=graph.n_nodes)
+
+
+def _fwd(graph: Graph, x: jax.Array):
+    return bcsr_spmm_vjp(graph, x), graph
+
+
+def _bwd(graph: Graph, g: jax.Array):
+    bt = graph.bcsr if graph.is_symmetric else graph.bcsr_t
+    dx = bcsr_spmm(bt, g, n_rows=graph.n_nodes)
+    dgraph = jax.tree.map(jnp.zeros_like, graph)
+    return dgraph, dx
+
+
+bcsr_spmm_vjp.defvjp(_fwd, _bwd)

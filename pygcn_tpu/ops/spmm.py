@@ -1,0 +1,109 @@
+"""SpMM / SDDMM — the sparse matmul engine.
+
+``spmm(graph, x)`` computes ``A @ x`` choosing among three implementations:
+
+- ``"dense"``   — plain MXU matmul on the densified adjacency (small graphs;
+  a 2708² Cora adjacency is 29 MB and the MXU eats it in microseconds).
+- ``"bcsr"``    — the Pallas block-sparse kernel (``ops/pallas/bcsr_spmm.py``):
+  only nonzero 128×128 tiles are touched, each one an MXU matmul.
+- ``"segment"`` — XLA gather + ``segment_sum`` over COO edges; the fully general
+  fallback that scales to graphs whose tiles don't fit a dense-tile budget.
+
+Backward passes: the segment/dense paths differentiate through XLA (gather ⇄
+scatter-add are transposes of each other, so the VJP *is* the transpose SpMM).
+The BCSR path pairs the forward kernel with a transpose-BCSR kernel via
+``custom_vjp`` (``A^T`` tiles are prebuilt in ``Graph.bcsr_t``; symmetric
+normalized adjacencies reuse ``A``'s tiles).
+
+The reference's single sparse op is ``torch.spmm(adj, support)`` at its
+``pygcn/layers.py:34``; this module is the TPU-native generalisation.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from pygcn_tpu.graph.graph import Graph
+
+
+def _resolve_impl(graph: Graph, impl: str) -> str:
+    if impl != "auto":
+        return impl
+    if graph.bcsr is not None and (graph.is_symmetric or graph.bcsr_t is not None):
+        return "bcsr"
+    if graph.dense is not None:
+        return "dense"
+    return "segment"
+
+
+def spmm(graph: Graph, x: jax.Array, impl: str = "auto") -> jax.Array:
+    """``A @ x`` for ``x`` of shape ``[n_nodes, H]`` (or ``[n_nodes]``)."""
+    impl = _resolve_impl(graph, impl)
+    squeeze = x.ndim == 1
+    if squeeze:
+        x = x[:, None]
+    if impl == "dense":
+        if graph.dense is None:
+            raise ValueError("graph has no dense layout; build with build_dense=True")
+        out = jnp.dot(graph.dense, x, preferred_element_type=x.dtype)
+    elif impl == "segment":
+        out = _spmm_segment(graph, x)
+    elif impl == "bcsr":
+        if graph.bcsr is None:
+            raise ValueError("graph has no BCSR layout; build with build_bcsr=True")
+        from pygcn_tpu.ops.pallas.bcsr_spmm import bcsr_spmm_vjp
+
+        out = bcsr_spmm_vjp(graph, x)
+    else:
+        raise ValueError(f"unknown spmm impl {impl!r}")
+    return out[:, 0] if squeeze else out
+
+
+def spmm_t(graph: Graph, x: jax.Array, impl: str = "auto") -> jax.Array:
+    """``A^T @ x`` — the transpose product (backward direction)."""
+    if graph.is_symmetric:
+        return spmm(graph, x, impl)
+    impl = _resolve_impl(graph, impl)
+    squeeze = x.ndim == 1
+    if squeeze:
+        x = x[:, None]
+    if impl == "dense":
+        out = jnp.dot(graph.dense.T, x, preferred_element_type=x.dtype)
+    elif impl == "segment":
+        # Swap the roles of senders/receivers. receivers are sorted, senders
+        # aren't — segment_sum handles unsorted segment ids fine.
+        msg = jnp.take(x, graph.receivers, axis=0) * graph.weights[:, None]
+        out = jax.ops.segment_sum(msg, graph.senders, num_segments=graph.n_nodes)
+    elif impl == "bcsr":
+        if graph.bcsr_t is None:
+            raise ValueError("graph has no transpose BCSR layout")
+        from pygcn_tpu.ops.pallas.bcsr_spmm import bcsr_spmm
+
+        out = bcsr_spmm(graph.bcsr_t, x, n_rows=graph.n_nodes)
+    else:
+        raise ValueError(f"unknown spmm impl {impl!r}")
+    return out[:, 0] if squeeze else out
+
+
+def _spmm_segment(graph: Graph, x: jax.Array) -> jax.Array:
+    msg = jnp.take(x, graph.senders, axis=0) * graph.weights[:, None]
+    return jax.ops.segment_sum(
+        msg,
+        graph.receivers,
+        num_segments=graph.n_nodes,
+        indices_are_sorted=True,
+    )
+
+
+def sddmm(graph: Graph, a: jax.Array, b: jax.Array) -> jax.Array:
+    """Sampled dense-dense matmul: per true edge ``(s, r)``, ``<a[r], b[s]>``.
+
+    This is the gradient of ``spmm`` w.r.t. the edge weights — exposed for
+    adjacency-learning workloads. Returns ``[E_pad]`` with padding entries 0.
+    """
+    vals = (jnp.take(a, graph.receivers, axis=0) * jnp.take(b, graph.senders, axis=0)).sum(-1)
+    mask = jnp.arange(graph.e_pad) < graph.n_edges
+    return jnp.where(mask, vals, 0.0)

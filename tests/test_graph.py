@@ -1,0 +1,93 @@
+import numpy as np
+import scipy.sparse as sp
+
+from pygcn_tpu.graph import (
+    Graph,
+    add_self_loops,
+    row_normalize,
+    sym_normalize,
+    symmetrize_max,
+)
+
+
+def random_coo(n, e, seed=0, weighted=True):
+    rng = np.random.default_rng(seed)
+    rows = rng.integers(0, n, e)
+    cols = rng.integers(0, n, e)
+    vals = rng.uniform(0.1, 1.0, e) if weighted else np.ones(e)
+    m = sp.coo_matrix((vals, (rows, cols)), shape=(n, n))
+    m.sum_duplicates()
+    return m.tocoo()
+
+
+def test_from_coo_roundtrip():
+    m = random_coo(300, 2000)
+    g = Graph.from_scipy(m)
+    assert g.n_nodes == 300
+    assert g.n_edges == m.nnz
+    back = g.to_scipy()
+    assert np.allclose(back.toarray(), m.toarray())
+
+
+def test_padding_and_sorting():
+    m = random_coo(50, 200)
+    g = Graph.from_scipy(m)
+    assert g.e_pad % 512 == 0
+    recv = np.asarray(g.receivers[: g.n_edges])
+    assert (np.diff(recv) >= 0).all()
+    # padding edges carry zero weight
+    assert np.all(np.asarray(g.weights[g.n_edges :]) == 0)
+
+
+def test_dense_layout_matches():
+    m = random_coo(100, 700)
+    g = Graph.from_scipy(m, build_dense=True)
+    assert np.allclose(np.asarray(g.dense), m.toarray())
+
+
+def test_bcsr_reconstruction():
+    m = random_coo(300, 3000)
+    g = Graph.from_scipy(m, build_bcsr=True, build_dense=False)
+    b = g.bcsr
+    dense = np.zeros((b.n_block_rows * b.tm, b.n_block_cols * b.tk))
+    data = np.asarray(b.data)
+    for t in range(data.shape[0]):
+        r = int(b.block_rows[t]) * b.tm
+        c = int(b.block_cols[t]) * b.tk
+        dense[r : r + b.tm, c : c + b.tk] += data[t]
+    assert np.allclose(dense[:300, :300], m.toarray())
+    # every block row owns at least one tile
+    ptr = np.asarray(b.block_row_ptr)
+    assert (np.diff(ptr) >= 1).all()
+
+
+def test_transpose():
+    m = random_coo(80, 500)
+    g = Graph.from_scipy(m)
+    gt = g.transpose()
+    assert np.allclose(gt.to_scipy().toarray(), m.T.toarray())
+
+
+def test_symmetrize_max():
+    m = random_coo(60, 300)
+    s = symmetrize_max(m)
+    expected = np.maximum(m.toarray(), m.toarray().T)
+    assert np.allclose(s.toarray(), expected)
+
+
+def test_row_normalize():
+    m = random_coo(40, 200)
+    r = row_normalize(m).toarray()
+    sums = r.sum(1)
+    nonzero = m.toarray().sum(1) != 0
+    assert np.allclose(sums[nonzero], 1.0)
+    assert np.allclose(sums[~nonzero], 0.0)
+
+
+def test_sym_normalize():
+    m = random_coo(40, 200)
+    a = sym_normalize(m)
+    d = add_self_loops(m).toarray()
+    deg = d.sum(1)
+    expected = d / np.sqrt(np.outer(deg, deg))
+    assert np.allclose(a.toarray(), expected)

@@ -1,0 +1,145 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from pygcn_tpu.graph import Graph, sym_normalize, symmetrize_max
+from pygcn_tpu.ops import sddmm, spmm
+from pygcn_tpu.ops.spmm import spmm_t
+
+
+def random_graph(n=260, e=2500, seed=0, **kwargs):
+    rng = np.random.default_rng(seed)
+    m = sp.coo_matrix(
+        (rng.uniform(0.1, 1.0, e), (rng.integers(0, n, e), rng.integers(0, n, e))),
+        shape=(n, n),
+    )
+    m.sum_duplicates()
+    return Graph.from_scipy(m.tocoo(), **kwargs), m.toarray()
+
+
+@pytest.mark.parametrize("impl", ["segment", "dense", "bcsr"])
+def test_spmm_matches_dense(impl):
+    g, a = random_graph(build_dense=True, build_bcsr=True)
+    x = jax.random.normal(jax.random.key(0), (g.n_nodes, 64))
+    out = spmm(g, x, impl=impl)
+    np.testing.assert_allclose(np.asarray(out), a @ np.asarray(x), rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("impl", ["segment", "dense", "bcsr"])
+def test_spmm_t_matches_dense(impl):
+    g, a = random_graph(build_dense=True, build_bcsr=True)
+    x = jax.random.normal(jax.random.key(1), (g.n_nodes, 32))
+    out = spmm_t(g, x, impl=impl)
+    np.testing.assert_allclose(np.asarray(out), a.T @ np.asarray(x), rtol=2e-4, atol=2e-4)
+
+
+def test_spmm_1d():
+    g, a = random_graph()
+    x = jax.random.normal(jax.random.key(2), (g.n_nodes,))
+    out = spmm(g, x, impl="segment")
+    np.testing.assert_allclose(np.asarray(out), a @ np.asarray(x), rtol=2e-4, atol=2e-4)
+
+
+def test_spmm_nonsquare_feature_dims():
+    # feature dims that don't align with 128 exercise the padding paths
+    g, a = random_graph(build_bcsr=True)
+    for h in (1, 7, 130):
+        x = jax.random.normal(jax.random.key(h), (g.n_nodes, h))
+        out = spmm(g, x, impl="bcsr")
+        np.testing.assert_allclose(
+            np.asarray(out), a @ np.asarray(x), rtol=2e-4, atol=2e-4
+        )
+
+
+@pytest.mark.parametrize("impl", ["segment", "dense", "bcsr"])
+def test_spmm_grad_is_transpose(impl):
+    """VJP of spmm w.r.t. x must be A^T @ g."""
+    g, a = random_graph(build_dense=True, build_bcsr=True)
+    x = jax.random.normal(jax.random.key(3), (g.n_nodes, 16))
+    ct = jax.random.normal(jax.random.key(4), (g.n_nodes, 16))
+
+    def f(x):
+        return spmm(g, x, impl=impl)
+
+    _, vjp = jax.vjp(f, x)
+    (dx,) = vjp(ct)
+    np.testing.assert_allclose(
+        np.asarray(dx), a.T @ np.asarray(ct), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_spmm_symmetric_bcsr_backward():
+    rng = np.random.default_rng(0)
+    n, e = 200, 1500
+    m = sp.coo_matrix(
+        (rng.uniform(0.1, 1.0, e), (rng.integers(0, n, e), rng.integers(0, n, e))),
+        shape=(n, n),
+    )
+    a = sym_normalize(symmetrize_max(m))
+    g = Graph.from_scipy(a, is_symmetric=True, build_bcsr=True)
+    assert g.bcsr_t is None  # symmetric graphs reuse forward tiles
+    x = jax.random.normal(jax.random.key(5), (n, 16))
+    ct = jax.random.normal(jax.random.key(6), (n, 16))
+    _, vjp = jax.vjp(lambda x: spmm(g, x, impl="bcsr"), x)
+    (dx,) = vjp(ct)
+    np.testing.assert_allclose(
+        np.asarray(dx), a.toarray().T @ np.asarray(ct), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_spmm_under_jit_and_vmap():
+    g, a = random_graph()
+    xs = jax.random.normal(jax.random.key(7), (4, g.n_nodes, 8))
+    out = jax.jit(jax.vmap(lambda x: spmm(g, x, impl="segment")))(xs)
+    for i in range(4):
+        np.testing.assert_allclose(
+            np.asarray(out[i]), a @ np.asarray(xs[i]), rtol=2e-4, atol=2e-4
+        )
+
+
+def test_sddmm_matches_dense():
+    g, _ = random_graph()
+    h = 24
+    a_feat = jax.random.normal(jax.random.key(8), (g.n_nodes, h))
+    b_feat = jax.random.normal(jax.random.key(9), (g.n_nodes, h))
+    vals = sddmm(g, a_feat, b_feat)
+    full = np.asarray(a_feat) @ np.asarray(b_feat).T
+    r = np.asarray(g.receivers[: g.n_edges])
+    s = np.asarray(g.senders[: g.n_edges])
+    np.testing.assert_allclose(
+        np.asarray(vals[: g.n_edges]), full[r, s], rtol=2e-4, atol=2e-4
+    )
+    assert np.all(np.asarray(vals[g.n_edges :]) == 0)
+
+
+def test_sddmm_is_spmm_weight_grad():
+    """d/dw [sum(ct * spmm(w))] == sddmm(ct, x) on true edges."""
+    g, _ = random_graph(n=120, e=600)
+    x = jax.random.normal(jax.random.key(10), (g.n_nodes, 8))
+    ct = jax.random.normal(jax.random.key(11), (g.n_nodes, 8))
+
+    def f(w):
+        g2 = jax.tree.map(lambda v: v, g)
+        g2 = type(g)(
+            senders=g.senders,
+            receivers=g.receivers,
+            weights=w,
+            dense=None,
+            bcsr=None,
+            bcsr_t=None,
+            n_nodes=g.n_nodes,
+            n_edges=g.n_edges,
+            is_symmetric=False,
+        )
+        return jnp.vdot(ct, spmm(g2, x, impl="segment"))
+
+    dw = jax.grad(f)(g.weights)
+    expected = sddmm(g, ct, x)
+    np.testing.assert_allclose(
+        np.asarray(dw[: g.n_edges]),
+        np.asarray(expected[: g.n_edges]),
+        rtol=2e-4,
+        atol=2e-4,
+    )
