@@ -1,0 +1,180 @@
+"""Dataset builders: Planetoid-format citation graphs + synthetic generators.
+
+``load_planetoid`` implements the classic Cora/Citeseer/Pubmed text format with
+the exact preprocessing the reference's (disabled) Cora path specifies at
+``pygcn/utils.py:343-383``: symmetrize A via the masked-sum identity,
+row-normalize features, ``D⁻¹(A+I)`` (or Kipf's symmetric ``D^{-1/2}(A+I)D^{-1/2}``)
+for propagation, splits train 0:140 / val 200:500 / test 500:1500.
+
+The reference repo's ``cora.content`` is a missing large blob, so synthetic
+generators provide structurally equivalent data for tests and benchmarks:
+
+- ``sbm_classification`` — a stochastic-block-model citation-graph stand-in
+  with class-correlated sparse binary features (a GCN should reach high
+  accuracy, exercising the full training stack).
+- ``chung_lu_graph`` — power-law degree graphs at arbitrary scale for
+  SpMM/scaling benchmarks (ogbn-arxiv / products-like shapes).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+import scipy.sparse as sp
+
+from pygcn_tpu.graph.graph import Graph
+from pygcn_tpu.graph.transform import (
+    row_normalize,
+    row_normalize_dense,
+    sym_normalize,
+    symmetrize_max,
+)
+
+
+@dataclasses.dataclass
+class NodeClassificationData:
+    graph: Graph
+    features: np.ndarray  # [N, F] float32, normalized
+    labels: np.ndarray  # [N] int32
+    idx_train: np.ndarray
+    idx_val: np.ndarray
+    idx_test: np.ndarray
+    n_classes: int
+
+
+def _finalize(
+    adj: sp.spmatrix,
+    features: np.ndarray,
+    labels: np.ndarray,
+    idx_train,
+    idx_val,
+    idx_test,
+    *,
+    adj_norm: str = "sym",
+    **graph_kwargs,
+) -> NodeClassificationData:
+    adj = symmetrize_max(adj)
+    if adj_norm == "sym":
+        a = sym_normalize(adj)
+    elif adj_norm == "row":
+        a = row_normalize(adj + sp.eye(adj.shape[0], dtype=adj.dtype))
+    else:
+        raise ValueError(f"unknown adj_norm {adj_norm!r}")
+    graph = Graph.from_scipy(a, is_symmetric=(adj_norm == "sym"), **graph_kwargs)
+    return NodeClassificationData(
+        graph=graph,
+        features=row_normalize_dense(features).astype(np.float32),
+        labels=labels.astype(np.int32),
+        idx_train=np.asarray(idx_train, np.int32),
+        idx_val=np.asarray(idx_val, np.int32),
+        idx_test=np.asarray(idx_test, np.int32),
+        n_classes=int(labels.max()) + 1,
+    )
+
+
+def load_planetoid(
+    content_path: str,
+    cites_path: str,
+    *,
+    adj_norm: str = "sym",
+    splits: Optional[tuple] = None,
+    **graph_kwargs,
+) -> NodeClassificationData:
+    """Load a Cora-format dataset (``<id> <feat…> <label>`` + ``<cited> <citing>``)."""
+    raw = np.genfromtxt(content_path, dtype=str)
+    ids = raw[:, 0]
+    features = raw[:, 1:-1].astype(np.float32)
+    label_names = raw[:, -1]
+    classes = {c: i for i, c in enumerate(sorted(set(label_names)))}
+    labels = np.array([classes[c] for c in label_names], np.int32)
+
+    idx_map = {j: i for i, j in enumerate(ids)}
+    edges_raw = np.genfromtxt(cites_path, dtype=str)
+    edges = np.array(
+        [[idx_map[a], idx_map[b]] for a, b in edges_raw if a in idx_map and b in idx_map],
+        np.int64,
+    )
+    n = len(ids)
+    adj = sp.coo_matrix(
+        (np.ones(len(edges), np.float32), (edges[:, 0], edges[:, 1])), shape=(n, n)
+    )
+
+    if splits is None:
+        splits = (range(140), range(200, 500), range(500, 1500))
+    idx_train, idx_val, idx_test = (np.asarray(list(s)) for s in splits)
+    return _finalize(
+        adj, features, labels, idx_train, idx_val, idx_test,
+        adj_norm=adj_norm, **graph_kwargs,
+    )
+
+
+def sbm_classification(
+    n: int = 600,
+    n_classes: int = 4,
+    feat_dim: int = 64,
+    avg_degree: float = 8.0,
+    homophily: float = 0.9,
+    train_per_class: int = 20,
+    n_val: int = 100,
+    n_test: int = 200,
+    seed: int = 0,
+    *,
+    adj_norm: str = "sym",
+    **graph_kwargs,
+) -> NodeClassificationData:
+    """Planetoid-shaped synthetic data: SBM graph + class-signal sparse features."""
+    rng = np.random.default_rng(seed)
+    labels = rng.integers(0, n_classes, n).astype(np.int32)
+
+    e_target = int(n * avg_degree / 2)
+    src = rng.integers(0, n, 3 * e_target)
+    dst = rng.integers(0, n, 3 * e_target)
+    same = labels[src] == labels[dst]
+    keep = np.where(same, rng.uniform(size=src.size) < homophily,
+                    rng.uniform(size=src.size) < (1 - homophily))
+    keep &= src != dst
+    src, dst = src[keep][:e_target], dst[keep][:e_target]
+    adj = sp.coo_matrix((np.ones(src.size, np.float32), (src, dst)), shape=(n, n))
+
+    # sparse binary "bag of words": each class owns a preferred slice of dims
+    proto = rng.uniform(0.02, 0.08, (n_classes, feat_dim))
+    slice_w = feat_dim // n_classes
+    for c in range(n_classes):
+        proto[c, c * slice_w : (c + 1) * slice_w] = 0.35
+    features = (rng.uniform(size=(n, feat_dim)) < proto[labels]).astype(np.float32)
+
+    order = rng.permutation(n)
+    idx_train = np.concatenate(
+        [order[labels[order] == c][:train_per_class] for c in range(n_classes)]
+    )
+    rest = np.setdiff1d(order, idx_train, assume_unique=False)
+    idx_val, idx_test = rest[:n_val], rest[n_val : n_val + n_test]
+    return _finalize(
+        adj, features, labels, idx_train, idx_val, idx_test,
+        adj_norm=adj_norm, **graph_kwargs,
+    )
+
+
+def chung_lu_graph(
+    n: int,
+    avg_degree: float,
+    *,
+    power: float = 2.2,
+    seed: int = 0,
+    weighted: bool = False,
+) -> sp.coo_matrix:
+    """Power-law random graph (Chung-Lu): endpoint prob ∝ w_i, w ~ Pareto."""
+    rng = np.random.default_rng(seed)
+    w = (1.0 - rng.uniform(size=n)) ** (-1.0 / (power - 1.0))
+    p = w / w.sum()
+    e = int(n * avg_degree)
+    src = rng.choice(n, e, p=p)
+    dst = rng.choice(n, e, p=p)
+    mask = src != dst
+    src, dst = src[mask], dst[mask]
+    vals = rng.uniform(0.5, 1.5, src.size).astype(np.float32) if weighted else np.ones(src.size, np.float32)
+    m = sp.coo_matrix((vals, (src, dst)), shape=(n, n))
+    m.sum_duplicates()
+    return m.tocoo()

@@ -1,0 +1,15 @@
+from pygcn_tpu.train.metrics import accuracy, mse, spearman
+from pygcn_tpu.train.optim import ReduceLROnPlateau, adam_l2
+from pygcn_tpu.train.loop import EarlyStopping
+from pygcn_tpu.train.checkpoint import get_checkpoint_state, save_checkpoint_state
+
+__all__ = [
+    "accuracy",
+    "mse",
+    "spearman",
+    "adam_l2",
+    "ReduceLROnPlateau",
+    "EarlyStopping",
+    "save_checkpoint_state",
+    "get_checkpoint_state",
+]
