@@ -1,0 +1,149 @@
+"""Static edge-partition + halo-exchange planning for distributed SpMM.
+
+The graph is 1-D row-partitioned over ``n_shards`` devices: shard *i* owns a
+contiguous node range (rows of A, rows of X, rows of Y). Every edge lives on
+the shard owning its *receiver*. Edges are split into
+
+- **local** edges (sender also owned) — aggregated straight from the local
+  feature shard, and
+- **remote** edges — their senders' features arrive via a single all-to-all
+  ("halo exchange"): each shard pre-computes, per peer, the unique feature rows
+  the peer needs (``send_idx``), so only boundary nodes travel over ICI, once,
+  regardless of how many edges reference them.
+
+Everything here is host-side NumPy executed once per graph; the resulting
+:class:`DistPlan` arrays are static, so the jitted/shard_mapped compute path
+has fixed shapes. Splitting local vs remote aggregation also lets XLA's
+scheduler overlap the all-to-all with the local segment-sum.
+
+No reference counterpart (the reference is single-GPU); mandated by the
+BASELINE north star (edge-partitioned multi-host scaling with halo exchange).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pygcn_tpu.graph.graph import Graph
+
+
+def _pad_to(x: int, m: int) -> int:
+    return max(m, -(-x // m) * m)
+
+
+@dataclasses.dataclass(frozen=True)
+class DistPlan:
+    """Per-shard static index plan (leading axis = shard)."""
+
+    # local edges: senders/receivers in shard-local coordinates
+    loc_s: jax.Array  # [P, E_loc]
+    loc_r: jax.Array  # [P, E_loc]
+    loc_w: jax.Array  # [P, E_loc]
+    # remote edges: sender indexes the flattened incoming halo table
+    rem_h: jax.Array  # [P, E_rem]
+    rem_r: jax.Array  # [P, E_rem]
+    rem_w: jax.Array  # [P, E_rem]
+    # send_idx[o, i, k]: k-th local row shard o ships to shard i
+    send_idx: jax.Array  # [P, P, halo]
+    n_shards: int
+    shard_size: int  # nodes per shard (padded)
+    halo: int  # halo slots per (src, dst) pair
+    n_nodes: int  # true node count
+
+    @property
+    def n_nodes_padded(self) -> int:
+        return self.n_shards * self.shard_size
+
+
+jax.tree_util.register_dataclass(
+    DistPlan,
+    data_fields=["loc_s", "loc_r", "loc_w", "rem_h", "rem_r", "rem_w", "send_idx"],
+    meta_fields=["n_shards", "shard_size", "halo", "n_nodes"],
+)
+
+
+def build_dist_plan(graph: Graph, n_shards: int, *, align: int = 8) -> DistPlan:
+    e = graph.n_edges
+    senders = np.asarray(graph.senders[:e], np.int64)
+    receivers = np.asarray(graph.receivers[:e], np.int64)
+    weights = np.asarray(graph.weights[:e])
+
+    shard_size = _pad_to(-(-graph.n_nodes // n_shards), align)
+    owner_s = senders // shard_size
+    owner_r = receivers // shard_size
+
+    loc_s, loc_r, loc_w = [], [], []
+    rem_h, rem_r, rem_w = [], [], []
+    halo_sets: list[list[np.ndarray]] = []  # halo_sets[i][o] = unique senders i needs from o
+
+    for i in range(n_shards):
+        mine = owner_r == i
+        s_i, r_i, w_i = senders[mine], receivers[mine] - i * shard_size, weights[mine]
+        local = owner_s[mine] == i
+        loc_s.append(s_i[local] - i * shard_size)
+        loc_r.append(r_i[local])
+        loc_w.append(w_i[local])
+
+        per_owner = []
+        rs, rr, rw = s_i[~local], r_i[~local], w_i[~local]
+        ro = rs // shard_size
+        for o in range(n_shards):
+            per_owner.append(np.unique(rs[ro == o]))
+        halo_sets.append(per_owner)
+        rem_h.append((rs, rr, rw, ro))
+
+    halo = _pad_to(
+        max(
+            (halo_sets[i][o].size for i in range(n_shards) for o in range(n_shards)),
+            default=1,
+        ),
+        align,
+    )
+
+    # send_idx[o][i]: local rows o ships to i (= halo_sets[i][o], o-local coords)
+    send_idx = np.zeros((n_shards, n_shards, halo), np.int32)
+    for i in range(n_shards):
+        for o in range(n_shards):
+            u = halo_sets[i][o]
+            send_idx[o, i, : u.size] = u - o * shard_size
+
+    # remap remote senders into the incoming halo table: slot o*halo + position
+    e_rem = _pad_to(max((t[0].size for t in rem_h), default=1), align)
+    rem_h_arr = np.zeros((n_shards, e_rem), np.int32)
+    rem_r_arr = np.zeros((n_shards, e_rem), np.int32)
+    rem_w_arr = np.zeros((n_shards, e_rem), weights.dtype)
+    for i, (rs, rr, rw, ro) in enumerate(rem_h):
+        pos = np.empty(rs.size, np.int64)
+        for o in range(n_shards):
+            m = ro == o
+            pos[m] = o * halo + np.searchsorted(halo_sets[i][o], rs[m])
+        rem_h_arr[i, : rs.size] = pos
+        rem_r_arr[i, : rr.size] = rr
+        rem_w_arr[i, : rw.size] = rw
+
+    e_loc = _pad_to(max((a.size for a in loc_s), default=1), align)
+    loc_s_arr = np.zeros((n_shards, e_loc), np.int32)
+    loc_r_arr = np.zeros((n_shards, e_loc), np.int32)
+    loc_w_arr = np.zeros((n_shards, e_loc), weights.dtype)
+    for i in range(n_shards):
+        loc_s_arr[i, : loc_s[i].size] = loc_s[i]
+        loc_r_arr[i, : loc_r[i].size] = loc_r[i]
+        loc_w_arr[i, : loc_w[i].size] = loc_w[i]
+
+    return DistPlan(
+        loc_s=jnp.asarray(loc_s_arr),
+        loc_r=jnp.asarray(loc_r_arr),
+        loc_w=jnp.asarray(loc_w_arr),
+        rem_h=jnp.asarray(rem_h_arr),
+        rem_r=jnp.asarray(rem_r_arr),
+        rem_w=jnp.asarray(rem_w_arr),
+        send_idx=jnp.asarray(send_idx),
+        n_shards=n_shards,
+        shard_size=shard_size,
+        halo=halo,
+        n_nodes=graph.n_nodes,
+    )

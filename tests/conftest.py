@@ -7,7 +7,9 @@ platform to expose 8 XLA CPU devices; Pallas kernels run in interpreter mode
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the driver environment presets JAX_PLATFORMS=axon (the real TPU
+# tunnel) — tests must run on the virtual CPU device mesh instead.
+os.environ["JAX_PLATFORMS"] = "cpu"
 # torch (used as the golden reference in parity tests) and XLA-CPU both spin up
 # OpenMP/Eigen thread pools; unpinned they intermittently deadlock each other.
 os.environ.setdefault("OMP_NUM_THREADS", "1")
@@ -20,6 +22,10 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The env var alone is not enough: the driver's site config pre-seeds
+# jax_platforms="axon,cpu", so override the config directly.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_enable_x64", False)
 # Parity tests compare against float64 NumPy: keep f32 matmuls exact.
 jax.config.update("jax_default_matmul_precision", "highest")
