@@ -1,0 +1,373 @@
+"""Metapopulation epidemic simulator — the TPU-native rebuild of the
+reference's ``gt-generator/disease_model.py`` (``Model``, lines 5-346).
+
+Re-architecture
+---------------
+The reference advances a NumPy ``(num_seeds, N)`` state through a 1512-hour
+Python ``while`` loop with two sparse matmuls per hour. Here:
+
+- the hour loop is a ``lax.scan`` (outer scan over recording blocks, inner
+  scan over the ``verbosity`` hours within a block, so histories are recorded
+  once per block without materializing per-hour state);
+- Monte-Carlo seeds are a ``vmap`` axis (each seed carries its own PRNG key);
+- the two per-hour sparse products (POI infection rates ``V @ density`` and
+  CBG cases ``rates @ V``, reference ``disease_model.py:311,319-321``) run on
+  the sparse engine's gather+segment path over a static padded COO visit
+  sequence (optionally periodic, e.g. one week of hourly matrices reused);
+- the stochastic draws (binomial seeding/transitions, Poisson POI infections)
+  use ``jax.random`` with keys threaded through the scan.
+
+Faithfulness: update order, clipping semantics (rates clipped to 1, POI cases
+clipped to susceptibles, NaN→0), the vaccination-time switch of attack rates,
+the clipping monitor counters, and the global freeze once the epidemic dies
+(reference ``disease_model.py:200-206`` stops *all* updates — including pending
+confirmations — once ``max(L+I) < 1`` across seeds) are all reproduced.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class VisitSeq:
+    """Padded COO sequence of hourly POI×CBG visit matrices.
+
+    ``poi_idx/cbg_idx/w`` have shape [period, E_max]; hour ``t`` uses row
+    ``t % period`` (period == total hours for non-periodic data). Padding
+    entries carry weight 0 and index 0.
+    """
+
+    poi_idx: jax.Array
+    cbg_idx: jax.Array
+    w: jax.Array
+    n_pois: int
+    n_cbgs: int
+    period: int
+
+    @staticmethod
+    def from_dense(mats: np.ndarray) -> "VisitSeq":
+        """``mats``: [T, M, N] dense hourly visit matrices."""
+        mats = np.asarray(mats)
+        t, m, n = mats.shape
+        coos = [np.nonzero(mats[i]) for i in range(t)]
+        e_max = max(max((len(c[0]) for c in coos), default=1), 1)
+        e_max = -(-e_max // 8) * 8
+        poi = np.zeros((t, e_max), np.int32)
+        cbg = np.zeros((t, e_max), np.int32)
+        w = np.zeros((t, e_max), np.float32)
+        for i, (pi, ci) in enumerate(coos):
+            poi[i, : pi.size] = pi
+            cbg[i, : ci.size] = ci
+            w[i, : ci.size] = mats[i][pi, ci]
+        return VisitSeq(
+            poi_idx=jnp.asarray(poi), cbg_idx=jnp.asarray(cbg), w=jnp.asarray(w),
+            n_pois=m, n_cbgs=n, period=t,
+        )
+
+    @staticmethod
+    def from_scipy(mats) -> "VisitSeq":
+        """``mats``: list of scipy sparse M×N hourly matrices."""
+        t = len(mats)
+        m, n = mats[0].shape
+        coos = [mm.tocoo() for mm in mats]
+        e_max = max(max((c.nnz for c in coos), default=1), 1)
+        e_max = -(-e_max // 8) * 8
+        poi = np.zeros((t, e_max), np.int32)
+        cbg = np.zeros((t, e_max), np.int32)
+        w = np.zeros((t, e_max), np.float32)
+        for i, c in enumerate(coos):
+            poi[i, : c.nnz] = c.row
+            cbg[i, : c.nnz] = c.col
+            w[i, : c.nnz] = c.data
+        return VisitSeq(
+            poi_idx=jnp.asarray(poi), cbg_idx=jnp.asarray(cbg), w=jnp.asarray(w),
+            n_pois=m, n_cbgs=n, period=t,
+        )
+
+
+jax.tree_util.register_dataclass(
+    VisitSeq,
+    data_fields=["poi_idx", "cbg_idx", "w"],
+    meta_fields=["n_pois", "n_cbgs", "period"],
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class EpidemicParams:
+    """Exogenous parameters (reference ``init_exogenous_variables``,
+    ``disease_model.py:24-111``)."""
+
+    poi_factors: jax.Array  # ψ·d²/a per POI [M]
+    cbg_sizes: jax.Array  # populations [N]
+    attack_orig: jax.Array  # [N]
+    attack_vac: jax.Array  # post-vaccination [N]
+    death_orig: jax.Array  # [N]
+    death_vac: jax.Array  # [N]
+    home_beta: float
+    p_sick_at_t0: float
+    vaccination_time: int
+    total_hours: int
+    psi: float
+    latency_period: float = 96.0
+    infectious_period: float = 84.0
+    confirmation_rate: float = 0.1
+    confirmation_lag: float = 168.0
+    death_lag: float = 432.0
+    clip_poisson_approximation: bool = True
+
+    @staticmethod
+    def build(
+        *,
+        poi_areas,
+        cbg_sizes,
+        total_hours: int,
+        p_sick_at_t0: float,
+        vaccination_time: int,
+        vaccination_vector,
+        vaccine_acceptance,
+        protection_rate: float,
+        poi_psi: float,
+        home_beta: float,
+        cbg_attack_rates_original,
+        cbg_death_rates_original,
+        poi_dwell_time_correction_factors=None,
+        **kwargs,
+    ) -> "EpidemicParams":
+        """Derive rates exactly as the reference does
+        (``disease_model.py:50-105``): POI factors ``ψ·d²/a``, vaccines
+        clipped to ``population × acceptance``, post-vaccination attack rates
+        ``α·((1−v/n) + (1−ρ)·v/n)`` clipped ≥0, death rates clipped to [0,1]
+        (and — per the reference's 20211013 change — NOT reduced by
+        vaccination)."""
+        poi_areas = np.asarray(poi_areas, np.float32)
+        cbg_sizes = np.asarray(cbg_sizes, np.float32)
+        factors = poi_psi / poi_areas
+        if poi_dwell_time_correction_factors is not None:
+            factors = np.asarray(poi_dwell_time_correction_factors, np.float32) * factors
+
+        v = np.clip(
+            np.asarray(vaccination_vector, np.float32),
+            None,
+            cbg_sizes * np.asarray(vaccine_acceptance, np.float32),
+        )
+        frac = v / cbg_sizes
+        attack_orig = np.asarray(cbg_attack_rates_original, np.float32)
+        attack_vac = attack_orig * ((1 - frac) + (1 - protection_rate) * frac)
+        attack_vac = np.clip(attack_vac, 0, None)
+        death = np.clip(np.asarray(cbg_death_rates_original, np.float32), 0, 1)
+        assert (death >= 0).all() and (death <= 1).all()
+
+        return EpidemicParams(
+            poi_factors=jnp.asarray(factors),
+            cbg_sizes=jnp.asarray(cbg_sizes),
+            attack_orig=jnp.asarray(attack_orig),
+            attack_vac=jnp.asarray(attack_vac),
+            death_orig=jnp.asarray(death),
+            death_vac=jnp.asarray(death),
+            home_beta=float(home_beta),
+            p_sick_at_t0=float(p_sick_at_t0),
+            vaccination_time=int(vaccination_time),
+            total_hours=int(total_hours),
+            psi=float(poi_psi),
+            **kwargs,
+        )
+
+
+jax.tree_util.register_dataclass(
+    EpidemicParams,
+    data_fields=[
+        "poi_factors", "cbg_sizes", "attack_orig", "attack_vac",
+        "death_orig", "death_vac",
+    ],
+    meta_fields=[
+        "home_beta", "p_sick_at_t0", "vaccination_time", "total_hours", "psi",
+        "latency_period", "infectious_period", "confirmation_rate",
+        "confirmation_lag", "death_lag", "clip_poisson_approximation",
+    ],
+)
+
+
+def _binomial(key, n, p):
+    # n arrives as float state; the reference casts to int before drawing
+    return jax.random.binomial(key, jnp.floor(n), jnp.clip(p, 0.0, 1.0))
+
+
+def _single_seed_hour(state, key, t, params: EpidemicParams, visits: VisitSeq):
+    """One hour for one seed. ``state``: dict of [N] float arrays."""
+    n_keys = jax.random.split(key, 7)
+    sizes = params.cbg_sizes
+    latent, infected, removed = state["latent"], state["infected"], state["removed"]
+
+    # --- get_new_cases (disease_model.py:260-345) ---
+    densities = infected / sizes
+    num_sus = jnp.clip(sizes - latent - infected - removed, 0.0, None)
+    sus_frac = num_sus / sizes
+    after_vac = t >= params.vaccination_time
+    attack = jnp.where(after_vac, params.attack_vac, params.attack_orig)
+    death_rate = jnp.where(after_vac, params.death_vac, params.death_orig)
+
+    if params.psi > 0:
+        base_rates = params.home_beta * attack * densities
+    else:
+        overall = infected.sum() / sizes.sum()
+        base_rates = jnp.full_like(densities, overall * params.home_beta)
+    base_rates = jnp.nan_to_num(base_rates)
+    n_base_clipped = (base_rates > 1.0).sum()
+    base_rates = jnp.clip(base_rates, None, 1.0)
+
+    tp = t % visits.period
+    poi_e = visits.poi_idx[tp]
+    cbg_e = visits.cbg_idx[tp]
+    w_e = visits.w[tp]
+
+    poi_visits = jax.ops.segment_sum(w_e, poi_e, num_segments=visits.n_pois)
+    n_active_pois = (poi_visits > 0).sum()
+    poi_rates = params.poi_factors * jax.ops.segment_sum(
+        w_e * densities[cbg_e], poi_e, num_segments=visits.n_pois
+    )
+    n_poi_clipped = (poi_rates > 1.0).sum()
+    if params.clip_poisson_approximation:
+        poi_rates = jnp.clip(poi_rates, None, 1.0)
+
+    mean_from_poi = attack * sus_frac * jax.ops.segment_sum(
+        w_e * poi_rates[poi_e], cbg_e, num_segments=visits.n_cbgs
+    )
+    mean_from_poi = jnp.nan_to_num(mean_from_poi)
+    cases_poi_raw = jax.random.poisson(n_keys[0], mean_from_poi).astype(jnp.float32)
+    n_cbgs_active = (mean_from_poi > 0).sum()
+    n_cbgs_clipped = (cases_poi_raw > num_sus).sum()
+    cases_poi = jnp.clip(cases_poi_raw, None, num_sus)
+    cases_base = _binomial(n_keys[1], num_sus - cases_poi, base_rates)
+    new_cases = cases_poi + cases_base
+
+    # --- update_states (disease_model.py:224-258) ---
+    new_infectious = _binomial(n_keys[2], latent, 1.0 / params.latency_period)
+    new_removed = _binomial(n_keys[3], infected, 1.0 / params.infectious_period)
+    latent = latent + new_cases - new_infectious
+    infected = infected + new_infectious - new_removed
+    removed = removed + new_removed
+
+    new_confirmed = _binomial(n_keys[4], state["cases_to_confirm"], 1.0 / params.confirmation_lag)
+    add_to_confirm = _binomial(n_keys[5], new_infectious, params.confirmation_rate)
+    cases_to_confirm = state["cases_to_confirm"] + add_to_confirm - new_confirmed
+
+    new_deaths = _binomial(n_keys[6], state["deaths_to_happen"], 1.0 / params.death_lag)
+    key_d = jax.random.fold_in(n_keys[6], 1)
+    add_deaths = _binomial(key_d, new_infectious, death_rate)
+    deaths_to_happen = state["deaths_to_happen"] + add_deaths - new_deaths
+
+    new_state = {
+        "latent": latent,
+        "infected": infected,
+        "removed": removed,
+        "cases_to_confirm": cases_to_confirm,
+        "deaths_to_happen": deaths_to_happen,
+        "C2": state["C2"] + new_confirmed,
+        "D2": state["D2"] + new_deaths,
+    }
+    monitor = jnp.stack(
+        [n_base_clipped, n_active_pois, n_poi_clipped, n_cbgs_active, n_cbgs_clipped]
+    )
+    return new_state, monitor
+
+
+def init_state(key, params: EpidemicParams, num_seeds: int):
+    """Binomial latent seeding (reference ``init_endogenous_variables``,
+    ``disease_model.py:113-127``)."""
+    n = params.cbg_sizes.shape[0]
+    p0 = jax.random.binomial(
+        key, params.cbg_sizes, params.p_sick_at_t0, shape=(num_seeds, n)
+    ).astype(jnp.float32)
+    zeros = jnp.zeros((num_seeds, n), jnp.float32)
+    return {
+        "latent": p0,
+        "infected": zeros,
+        "removed": zeros,
+        "cases_to_confirm": zeros,
+        "deaths_to_happen": zeros,
+        "C2": zeros,
+        "D2": zeros,
+    }
+
+
+def simulate(
+    params: EpidemicParams,
+    visits: VisitSeq,
+    num_seeds: int,
+    key: jax.Array,
+    verbosity: int = 24,
+):
+    """Run the full horizon; returns the reference's outputs as a dict:
+
+    ``times`` [D], ``L``/``I``/``R`` [D, S] (block-start sums),
+    ``history_C2``/``history_D2`` [D, S, N] (block-start cumulative),
+    ``C2``/``D2`` [S, N] (final), ``total_affected`` [S],
+    ``cbg_all_affected`` [S, N], ``monitor`` [T, 5] seed-summed clip counters.
+    (Reference returns tuple at ``disease_model.py:222``.)
+    """
+    t_total = params.total_hours
+    if t_total % verbosity:
+        raise ValueError("total_hours must be a multiple of verbosity")
+    blocks = t_total // verbosity
+
+    k_init, k_run = jax.random.split(key)
+    state = init_state(k_init, params, num_seeds)
+    seed_keys = jax.random.split(k_run, num_seeds)
+
+    hour_fn = jax.vmap(_single_seed_hour, in_axes=(0, 0, None, None, None))
+
+    def block_step(carry, block_idx):
+        state, keys, over = carry
+        # record at block start (reference records at loop top, t % 24 == 0)
+        rec = {
+            "L": state["latent"].sum(-1),
+            "I": state["infected"].sum(-1),
+            "R": state["removed"].sum(-1),
+            "history_C2": state["C2"],
+            "history_D2": state["D2"],
+        }
+
+        def hour_step(c, h):
+            state, keys, over = c
+            t = block_idx * verbosity + h
+            new_keys = jax.vmap(jax.random.fold_in)(keys, jnp.full((num_seeds,), t))
+            new_state, monitor = hour_fn(state, new_keys, t, params, visits)
+            # freeze everything once the epidemic has died globally
+            # (reference disease_model.py:200-206)
+            new_state = jax.tree.map(
+                lambda new, old: jnp.where(over, old, new), new_state, state
+            )
+            over = over | (
+                jnp.max(new_state["latent"] + new_state["infected"]) < 1.0
+            )
+            return (new_state, keys, over), jnp.where(over, 0, monitor.sum(0))
+
+        (state, keys, over), monitors = jax.lax.scan(
+            hour_step, (state, keys, over), jnp.arange(verbosity)
+        )
+        return (state, keys, over), (rec, monitors)
+
+    (state, _, _), (recs, monitors) = jax.lax.scan(
+        block_step, (state, seed_keys, jnp.asarray(False)), jnp.arange(blocks)
+    )
+
+    all_affected = state["latent"] + state["infected"] + state["removed"]
+    return {
+        "times": jnp.arange(blocks) * verbosity,
+        "L": recs["L"],
+        "I": recs["I"],
+        "R": recs["R"],
+        "history_C2": recs["history_C2"],
+        "history_D2": recs["history_D2"],
+        "C2": state["C2"],
+        "D2": state["D2"],
+        "total_affected": all_affected.sum(-1),
+        "cbg_all_affected": all_affected,
+        "monitor": monitors.reshape(-1, 5),
+    }

@@ -1,0 +1,46 @@
+"""Robust device timing.
+
+On tunneled/async backends ``block_until_ready`` can return before the device
+has actually finished (observed on the axon TPU tunnel: apparent 17 PFLOP/s on
+a v5e). The only trustworthy sync point is materializing result *bytes* on the
+host. ``time_chained`` therefore runs ``n`` data-dependent iterations of the
+op inside one jitted ``fori_loop``, fetches a scalar reduction of the result,
+and differences two iteration counts to cancel the fixed launch+roundtrip
+overhead.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable
+
+import numpy as np
+
+
+def time_chained(
+    step_fn: Callable,
+    init,
+    *,
+    iters: int = 32,
+    reps: int = 5,
+) -> float:
+    """Median seconds per application of ``step_fn`` (x → x, same shape)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run(x, n):
+        return jax.lax.fori_loop(0, n, lambda i, v: step_fn(v), x)
+
+    def timed(n) -> float:
+        t0 = time.perf_counter()
+        out = run(init, n)
+        # force real completion: bytes must reach the host
+        float(jax.device_get(jnp.sum(out)))
+        return time.perf_counter() - t0
+
+    # warm both iteration counts (single compile thanks to dynamic n)
+    timed(1)
+    timed(iters + 1)
+    samples = [(timed(iters + 1) - timed(1)) / iters for _ in range(reps)]
+    return float(np.median(samples))

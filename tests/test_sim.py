@@ -1,0 +1,205 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pygcn_tpu.sim import EpidemicParams, VisitSeq, simulate
+from pygcn_tpu.sim.policies import (
+    apply_smoothing,
+    assign_group,
+    assign_groups,
+    average_across_random_seeds,
+    fips_code,
+    get_separators,
+    gini,
+    match_msa_name_to_acs,
+    vaccine_distribution_fixed_nn,
+    vaccine_distribution_flood,
+    vaccine_distribution_flood_new,
+)
+
+
+def tiny_world(n_cbgs=20, n_pois=6, hours=48, seed=0, vac_vector=None, protection=0.5):
+    rng = np.random.default_rng(seed)
+    sizes = rng.integers(500, 2000, n_cbgs).astype(np.float32)
+    visits = rng.uniform(0, 3.0, (hours, n_pois, n_cbgs)).astype(np.float32)
+    visits[visits < 2.0] = 0.0  # sparsify
+    if vac_vector is None:
+        vac_vector = np.zeros(n_cbgs)
+    params = EpidemicParams.build(
+        poi_areas=rng.uniform(100, 1000, n_pois),
+        cbg_sizes=sizes,
+        total_hours=hours,
+        p_sick_at_t0=0.01,
+        vaccination_time=24,
+        vaccination_vector=vac_vector,
+        vaccine_acceptance=np.ones(n_cbgs),
+        protection_rate=protection,
+        poi_psi=1500.0,
+        home_beta=0.005,
+        cbg_attack_rates_original=np.ones(n_cbgs),
+        cbg_death_rates_original=np.full(n_cbgs, 0.01),
+    )
+    return params, VisitSeq.from_dense(visits), sizes
+
+
+def test_simulation_shapes_and_invariants():
+    params, visits, sizes = tiny_world()
+    out = simulate(params, visits, num_seeds=4, key=jax.random.key(0))
+
+    d = 48 // 24
+    assert out["history_C2"].shape == (d, 4, 20)
+    assert out["L"].shape == (d, 4)
+    assert out["total_affected"].shape == (4,)
+    assert out["monitor"].shape == (48, 5)
+
+    # cumulative histories are monotone
+    h = np.asarray(out["history_C2"])
+    assert (np.diff(h, axis=0) >= -1e-6).all()
+    # nobody infected beyond the population
+    affected = np.asarray(out["cbg_all_affected"])
+    assert (affected <= sizes[None, :] + 1e-5).all()
+    assert (affected >= 0).all()
+    # states stay finite
+    assert np.isfinite(np.asarray(out["C2"])).all()
+
+
+def test_simulation_deterministic_given_key():
+    params, visits, _ = tiny_world()
+    o1 = simulate(params, visits, num_seeds=2, key=jax.random.key(7))
+    o2 = simulate(params, visits, num_seeds=2, key=jax.random.key(7))
+    np.testing.assert_array_equal(
+        np.asarray(o1["total_affected"]), np.asarray(o2["total_affected"])
+    )
+    o3 = simulate(params, visits, num_seeds=2, key=jax.random.key(8))
+    assert not np.array_equal(
+        np.asarray(o1["total_affected"]), np.asarray(o3["total_affected"])
+    )
+
+
+def test_vaccination_reduces_cases():
+    """Full coverage with protection 1.0 after t=0 → attack rates 0 →
+    only the POI-free baseline; compare total affected vs no vaccination."""
+    n = 20
+    _, visits, sizes = tiny_world()
+    no_vac, _, _ = tiny_world(vac_vector=np.zeros(n))
+    full_vac, _, _ = tiny_world(vac_vector=sizes.copy(), protection=1.0)
+    # vaccinate from the start
+    full_vac = EpidemicParams(
+        **{**{f.name: getattr(full_vac, f.name) for f in full_vac.__dataclass_fields__.values()},
+           "vaccination_time": 0}
+    )
+    out_no = simulate(no_vac, visits, num_seeds=8, key=jax.random.key(1))
+    out_full = simulate(full_vac, visits, num_seeds=8, key=jax.random.key(1))
+    # with attack rates zeroed, no new cases at all beyond initial seeding
+    assert float(np.mean(np.asarray(out_full["total_affected"]))) < float(
+        np.mean(np.asarray(out_no["total_affected"]))
+    )
+
+
+def test_epidemic_freeze_on_die_out():
+    """With zero transmission the epidemic dies; states freeze (including
+    pending confirmations, matching the reference's early exit)."""
+    params, visits, _ = tiny_world()
+    dead = EpidemicParams(
+        **{**{f.name: getattr(params, f.name) for f in params.__dataclass_fields__.values()},
+           "home_beta": 0.0, "psi": 0.0, "p_sick_at_t0": 0.001}
+    )
+    # psi=0 triggers the uniform-mixing ablation with home_beta=0 → no spread
+    out = simulate(dead, visits, num_seeds=2, key=jax.random.key(2))
+    total = np.asarray(out["total_affected"])
+    assert np.isfinite(total).all()
+
+
+def test_expected_transition_rates():
+    """E[new_infectious] ≈ latent/latency over many seeds."""
+    params, visits, _ = tiny_world(hours=24)
+    out = simulate(params, visits, num_seeds=64, key=jax.random.key(3))
+    # just verify the simulation produces growing case counts with plausible
+    # magnitude (smoke-level statistical check)
+    assert float(np.asarray(out["total_affected"]).mean()) > 0
+
+
+# ---------------------------------------------------------------------- #
+# policies
+# ---------------------------------------------------------------------- #
+
+
+def test_flood_distribution_budget_and_order():
+    rng = np.random.default_rng(0)
+    sizes = rng.integers(100, 1000, 30).astype(float)
+    feat = rng.normal(size=30)
+    ratio = 0.4
+    vac = vaccine_distribution_flood(sizes, ratio, feat, ascending=True, execution_ratio=0.6)
+    # total distributed equals the full budget (policy + random leftover)
+    np.testing.assert_allclose(vac.sum(), sizes.sum() * ratio, rtol=1e-9)
+    # nobody exceeds population
+    assert (vac <= sizes + 1e-9).all()
+    # the lowest-feature CBGs are fully covered under the policy budget
+    order = np.argsort(feat)
+    policy_budget = sizes.sum() * ratio * 0.6
+    cum = np.cumsum(sizes[order])
+    fully = order[: int(np.searchsorted(cum, policy_budget))]
+    np.testing.assert_allclose(vac[fully[:-1]], sizes[fully[:-1]])
+
+
+def test_flood_new_priority():
+    sizes = np.full(10, 100.0)
+    feat = np.arange(10.0)
+    vulnerable = np.zeros(10)
+    vulnerable[7] = 1  # must be served first despite high feature value
+    vac = vaccine_distribution_flood_new(
+        sizes, 0.2, feat, ascending=True, execution_ratio=1.0,
+        leftover=0.0, is_last=True,
+        current_vector=np.zeros(10), most_vulnerable=vulnerable,
+    )
+    assert vac[7] == 100.0
+    np.testing.assert_allclose(vac.sum(), sizes.sum() * 0.2)
+
+
+def test_fixed_nn_distribution():
+    sizes = np.array([100.0, 200.0, 300.0, 400.0])
+    vac = vaccine_distribution_fixed_nn(sizes, 0.1, 2, proportional=False, target_idxs=[1, 3])
+    np.testing.assert_allclose(vac, [0, 50, 0, 50])
+    vac = vaccine_distribution_fixed_nn(sizes, 0.1, 2, proportional=True, target_idxs=[1, 3])
+    np.testing.assert_allclose(vac, [0, 100 * 200 / 600, 0, 100 * 400 / 600])
+
+
+def test_separators_and_group_assignment():
+    rng = np.random.default_rng(1)
+    sizes = rng.integers(50, 150, 100).astype(float)
+    indicator = rng.uniform(0, 1, 100)
+    seps = get_separators(sizes, indicator, 4, normalized=True)
+    assert seps[0] == -0.1 and seps[-1] == 1
+    groups = assign_groups(indicator, seps)
+    # groups roughly population-balanced
+    pops = np.array([sizes[groups == g].sum() for g in range(4)])
+    assert pops.min() > 0.5 * pops.mean()
+    # scalar and vector versions agree
+    for i in range(0, 100, 13):
+        assert assign_group(indicator[i], seps) == groups[i]
+        assert assign_group(indicator[i], seps, reverse=True) == 3 - groups[i]
+
+
+def test_gini_known_values():
+    assert abs(gini(np.ones(100))) < 1e-4  # perfect equality
+    unequal = np.zeros(100)
+    unequal[-1] = 100.0
+    assert gini(unequal) > 0.95
+
+
+def test_smoothing_and_averaging():
+    x = np.arange(10.0)
+    sm = apply_smoothing(x, before=1, after=1)
+    np.testing.assert_allclose(sm[1:-1], x[1:-1])
+    hist = np.arange(2 * 3 * 4).reshape(2, 3, 4).astype(float)
+    avg_c, avg_d, cases, deaths = average_across_random_seeds(hist, hist, [0, 2])
+    np.testing.assert_allclose(avg_c, hist.mean(axis=1))
+    np.testing.assert_allclose(cases, hist.mean(axis=1)[:, [0, 2]].sum(1))
+
+
+def test_msa_matching_and_fips():
+    assert fips_code(6, 75) == 6075
+    msas = ["San Francisco-Oakland-Hayward, CA", "Chicago-Naperville-Elgin, IL-IN-WI"]
+    assert match_msa_name_to_acs("Fresno_CA", msas) is None  # no shared city
+    assert match_msa_name_to_acs("Oakland_CA", msas) == msas[0]
+    assert match_msa_name_to_acs("Chicago_IL_IN_WI", msas) == msas[1]
