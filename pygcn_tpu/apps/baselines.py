@@ -1,0 +1,183 @@
+"""Non-GCN baselines (reference ``mlp.py`` E3, ``mlp_new.py`` E4,
+``regression.py`` E5).
+
+Subcommands:
+
+- ``mlp``         — masked-pool + MLP head on (4 demo + 4 graph + flag)
+  features, the reference's torch baseline (``pygcn/mlp.py:209-253``);
+- ``summary-ols`` — ordinary least squares of the targets on per-policy
+  summary statistics (mean/std of the 8 node features over vaccinated CBGs,
+  reference ``mlp_new.py:128-145`` / ``regression.py:139-185``). statsmodels
+  is unavailable here, so the OLS (coefficients, t-stats, R²) is computed in
+  closed form with NumPy;
+- ``summary-mlp`` — sklearn ``MLPRegressor`` on the same summary stats
+  (reference ``mlp_new.py:177-209``).
+
+Usage::
+
+    python -m pygcn_tpu.apps.baselines mlp --vac_result_path /tmp/vac.csv
+    python -m pygcn_tpu.apps.baselines summary-ols --vac_result_path /tmp/vac.csv
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+from pygcn_tpu.apps.common import build_synthetic_world
+from pygcn_tpu.data.features import centrality_features, standardize
+from pygcn_tpu.data.loader import make_split_loaders
+from pygcn_tpu.data.vac_results import load_vac_results
+
+
+def numpy_ols(x: np.ndarray, y: np.ndarray):
+    """OLS with intercept: returns dict of coef, t-stats, r2, r2_adj."""
+    n, k = x.shape
+    xd = np.concatenate([np.ones((n, 1)), x], axis=1)
+    coef, *_ = np.linalg.lstsq(xd, y, rcond=None)
+    resid = y - xd @ coef
+    dof = max(n - k - 1, 1)
+    sigma2 = float(resid @ resid) / dof
+    xtx_inv = np.linalg.pinv(xd.T @ xd)
+    se = np.sqrt(np.clip(np.diag(xtx_inv) * sigma2, 1e-30, None))
+    tstats = coef / se
+    ss_tot = float(((y - y.mean()) ** 2).sum())
+    r2 = 1.0 - float(resid @ resid) / max(ss_tot, 1e-30)
+    r2_adj = 1.0 - (1 - r2) * (n - 1) / dof
+    return {"coef": coef, "t": tstats, "r2": r2, "r2_adj": r2_adj}
+
+
+def build_world_and_features(args):
+    world = build_synthetic_world(
+        n_cbgs=args.n_cbgs, hours=args.hours, msa_name=args.msa_name, seed=args.seed
+    )
+    res = load_vac_results(args.vac_result_path, rel_result=True)
+    cent = centrality_features(world.adj)
+    demo = standardize(world.demographics)
+    node_feats = np.concatenate([demo, cent], axis=1)  # [N, 8]
+    return world, res, node_feats
+
+
+def summary_stats(node_feats: np.ndarray, vac_tags) -> np.ndarray:
+    """[B, 16]: mean and std of the 8 features over each policy's vaccinated
+    nodes (reference ``mlp_new.py:128-145``)."""
+    rows = []
+    for tags in vac_tags:
+        sel = node_feats[np.asarray(tags, np.int64)]
+        rows.append(np.concatenate([sel.mean(axis=0), sel.std(axis=0)]))
+    return np.asarray(rows, np.float32)
+
+
+def run_mlp(args):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from pygcn_tpu.nn.models import PoolMLPModel
+    from pygcn_tpu.train import adam_l2
+    from pygcn_tpu.train.metrics import spearman
+
+    world, res, node_feats = build_world_and_features(args)
+    b, n = res.num_samples, node_feats.shape[0]
+    feats = np.zeros((b, n, node_feats.shape[1] + 1), np.float32)
+    feats[:, :, :-1] = node_feats
+    for i, tags in enumerate(res.vac_tags):
+        feats[i, tags, -1] = 1.0
+    y = res.graph_labels[:, args.target_code]
+    y = ((y - y.mean()) / (y.std() + 1e-8)).astype(np.float32)
+
+    train_loader, val_loader, test_loader = make_split_loaders(
+        feats, y, res.idx_train, res.idx_val, res.idx_test, args.batch_size,
+        quicktest=args.quicktest,
+    )
+
+    model = PoolMLPModel(
+        linear_nin=node_feats.shape[1], linear_nhid1=64, linear_nhid2=8, linear_nout=1
+    )
+    params = model.init(jax.random.key(args.seed))
+    tx = adam_l2(args.lr, args.weight_decay)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def train_step(params, opt_state, bx, by):
+        def loss_fn(p):
+            return jnp.mean((model.apply(p, bx)[:, 0] - by) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    for epoch in range(args.epochs):
+        for bx, by in train_loader:
+            params, opt_state, loss = train_step(
+                params, opt_state, jnp.asarray(bx), jnp.asarray(by)
+            )
+
+    preds, truths = [], []
+    for bx, by in test_loader:
+        preds.append(np.asarray(model.apply(params, jnp.asarray(bx))[:, 0]))
+        truths.append(by)
+    preds, truths = np.concatenate(preds), np.concatenate(truths)
+    mse = float(np.mean((preds - truths) ** 2))
+    corr = float(spearman(jnp.asarray(preds), jnp.asarray(truths)))
+    print(f"mlp baseline: test mse={mse:.4f} spearman={corr:.4f}")
+    return mse, corr
+
+
+def run_summary_ols(args):
+    _, res, node_feats = build_world_and_features(args)
+    x = summary_stats(node_feats, res.vac_tags)
+    targets = res.graph_labels
+    names = ["Total_Cases", "Case_Rates_STD", "Total_Deaths", "Death_Rates_STD"]
+    for j in range(targets.shape[1]):
+        fit = numpy_ols(x, targets[:, j].astype(np.float64))
+        print(f"[OLS] target={names[j]} r2={fit['r2']:.4f} r2_adj={fit['r2_adj']:.4f}")
+        top = np.argsort(-np.abs(fit["t"][1:]))[:3]
+        for k in top:
+            print(f"    feat{k}: coef={fit['coef'][k + 1]:.4g} t={fit['t'][k + 1]:.2f}")
+    return fit
+
+
+def run_summary_mlp(args):
+    from sklearn.neural_network import MLPRegressor
+
+    _, res, node_feats = build_world_and_features(args)
+    x = summary_stats(node_feats, res.vac_tags)
+    y = res.graph_labels[:, args.target_code]
+    tr, te = res.idx_train, res.idx_test
+    reg = MLPRegressor(
+        hidden_layer_sizes=(64, 8), max_iter=args.epochs * 10,
+        random_state=args.seed,
+    ).fit(x[tr], y[tr])
+    score = reg.score(x[te], y[te])
+    mse = float(np.mean((reg.predict(x[te]) - y[te]) ** 2))
+    print(f"sklearn MLP baseline: test r2={score:.4f} mse={mse:.4f}")
+    return score
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("cmd", choices=["mlp", "summary-ols", "summary-mlp"])
+    ap.add_argument("--vac_result_path", required=True)
+    ap.add_argument("--msa_name", default="SanFrancisco")
+    ap.add_argument("--epochs", type=int, default=50)
+    ap.add_argument("--lr", type=float, default=0.01)
+    ap.add_argument("--weight_decay", type=float, default=5e-4)
+    ap.add_argument("--batch_size", type=int, default=20)
+    ap.add_argument("--target_code", type=int, default=0)
+    ap.add_argument("--quicktest", action="store_true")
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--n_cbgs", type=int, default=64)
+    ap.add_argument("--hours", type=int, default=96)
+    args = ap.parse_args(argv)
+
+    if args.cmd == "mlp":
+        return run_mlp(args)
+    if args.cmd == "summary-ols":
+        return run_summary_ols(args)
+    return run_summary_mlp(args)
+
+
+if __name__ == "__main__":
+    main()

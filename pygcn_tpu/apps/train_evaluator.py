@@ -1,0 +1,220 @@
+"""Surrogate-evaluator trainer (the reference's main ``gnn-over-mlp.py``, E2).
+
+Pipeline: gt CSV(s) → predictor node features (standardized demographics +
+embeddings + per-sample vac flags) → centrality features → 4-mode assembly →
+GCN_OVER_MLP, trained with Adam+L2, grad-clip 0.1, ReduceLROnPlateau('max' on
+val Spearman, factor 0.5, patience 8), EarlyStopping(30), dual checkpoints
+(min-val-loss and max-Spearman), ``--resume``, MSE + Spearman metrics —
+mirroring reference ``pygcn/gnn-over-mlp.py:300-432``. The training step is a
+single jitted fused forward/backward/update; the evaluator batch dimension is
+vmapped (no per-sample Python loop).
+
+Usage::
+
+    python -m pygcn_tpu.apps.train_evaluator --synthetic \
+        --vac_result_path /tmp/vac.csv --epochs 50 --out_dir /tmp/eval_run
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import pickle
+
+import numpy as np
+
+from pygcn_tpu.data.features import (
+    assemble_evaluator_features,
+    centrality_features,
+    standardize,
+)
+from pygcn_tpu.data.loader import make_split_loaders
+from pygcn_tpu.data.vac_results import load_vac_results
+from pygcn_tpu.apps.common import build_synthetic_world
+from pygcn_tpu.train import (
+    EarlyStopping,
+    ReduceLROnPlateau,
+    adam_l2,
+    get_checkpoint_state,
+    save_checkpoint_state,
+)
+from pygcn_tpu.utils.logging import MetricsLogger
+
+
+def build_predictor_features(world, res) -> np.ndarray:
+    """[B, N, 4 demo + E embed + 1 flag] (reference ``pygcn/utils.py:280-311``)."""
+    demo = standardize(world.demographics)
+    embed = standardize(world.embeddings)
+    b = res.num_samples
+    n = world.n_cbgs
+    f = 4 + embed.shape[1] + 1
+    feats = np.zeros((b, n, f), np.float32)
+    feats[:, :, :4] = demo
+    feats[:, :, 4:-1] = embed
+    for i, tags in enumerate(res.vac_tags):
+        feats[i, tags, -1] = 1.0
+    return feats
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--vac_result_path", required=True)
+    ap.add_argument("--synthetic", action="store_true", default=True)
+    ap.add_argument("--msa_name", default="SanFrancisco")
+    ap.add_argument("--epochs", type=int, default=200)
+    ap.add_argument("--lr", type=float, default=0.01)
+    ap.add_argument("--weight_decay", type=float, default=5e-4)
+    ap.add_argument("--hidden", type=int, default=32)
+    ap.add_argument("--batch_size", type=int, default=20)
+    ap.add_argument("--NN", type=int, default=5)
+    ap.add_argument("--target_code", type=int, default=0, choices=[0, 1],
+                    help="0=total_cases, 1=case_std")
+    ap.add_argument("--with_pretrained_embed", action="store_true", default=True)
+    ap.add_argument("--with_original_feat", action="store_true")
+    ap.add_argument("--rel_result", action="store_true", default=True)
+    ap.add_argument("--quicktest", action="store_true")
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--n_cbgs", type=int, default=64)
+    ap.add_argument("--hours", type=int, default=96)
+    ap.add_argument("--patience", type=int, default=30)
+    ap.add_argument("--grad_clip", type=float, default=0.1)
+    ap.add_argument("--out_dir", required=True)
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from pygcn_tpu.nn.models import GCNOverMLP
+    from pygcn_tpu.train.metrics import spearman
+
+    os.makedirs(args.out_dir, exist_ok=True)
+
+    if not os.path.exists(args.vac_result_path):
+        print("gt CSV missing — generating synthetic ground truth first")
+        from pygcn_tpu.apps import gt_gen
+
+        gt_gen.main([
+            "--out", args.vac_result_path, "--num_samples", "48",
+            "--NN", str(args.NN), "--n_cbgs", str(args.n_cbgs),
+            "--hours", str(args.hours), "--num_seeds", "4",
+        ])
+
+    world = build_synthetic_world(
+        n_cbgs=args.n_cbgs, hours=args.hours, msa_name=args.msa_name, seed=args.seed
+    )
+    res = load_vac_results(args.vac_result_path, rel_result=args.rel_result)
+    node_feats = build_predictor_features(world, res)
+    cent = centrality_features(world.adj)
+    feats, dim_touched = assemble_evaluator_features(
+        node_feats, cent, args.with_pretrained_embed, args.with_original_feat
+    )
+    y = res.graph_labels[:, args.target_code]
+    # standardize the target for stable MSE scale
+    y = ((y - y.mean()) / (y.std() + 1e-8)).astype(np.float32)
+
+    train_loader, val_loader, test_loader = make_split_loaders(
+        feats, y, res.idx_train, res.idx_val, res.idx_test,
+        args.batch_size, quicktest=args.quicktest, seed=args.seed,
+    )
+
+    gcn_nclass = args.hidden
+    f_total = feats.shape[2]
+    model = GCNOverMLP(
+        gcn_nfeat=dim_touched, gcn_nhid=args.hidden, gcn_nclass=gcn_nclass,
+        dim_touched=dim_touched,
+        linear_nin=gcn_nclass + (f_total - dim_touched) - 1,
+        linear_nhid1=64, linear_nhid2=8, linear_nout=1,
+    )
+    params = model.init(jax.random.key(args.seed))
+    tx = adam_l2(args.lr, args.weight_decay, grad_clip_norm=args.grad_clip)
+    opt_state = tx.init(params)
+    sched = ReduceLROnPlateau(mode="max", factor=0.5, patience=8, min_lr=1e-8)
+    stopper = EarlyStopping(patience=args.patience)
+    graph = world.graph
+
+    def loss_fn(params, bx, by):
+        pred = model.apply(params, bx, graph)[:, 0]
+        return jnp.mean((pred - by) ** 2)
+
+    @jax.jit
+    def train_step(params, opt_state, bx, by):
+        loss, grads = jax.value_and_grad(loss_fn)(params, bx, by)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    @jax.jit
+    def predict(params, bx):
+        return model.apply(params, bx, graph)[:, 0]
+
+    def evaluate(loader):
+        losses, preds, truths = [], [], []
+        for bx, by in loader:
+            p = predict(params, jnp.asarray(bx))
+            losses.append(float(jnp.mean((p - jnp.asarray(by)) ** 2)))
+            preds.append(np.asarray(p))
+            truths.append(by)
+        preds, truths = np.concatenate(preds), np.concatenate(truths)
+        corr = float(spearman(jnp.asarray(preds), jnp.asarray(truths)))
+        return float(np.mean(losses)), corr
+
+    ckpt_minloss = os.path.join(args.out_dir, "checkpoint_minloss.pkl")
+    ckpt_maxcorr = os.path.join(args.out_dir, "checkpoint_maxcorr.pkl")
+    start_epoch = 0
+    if args.resume and os.path.exists(ckpt_maxcorr):
+        params, start_epoch, opt_state, sstate = get_checkpoint_state(ckpt_maxcorr)
+        params = jax.tree.map(jnp.asarray, params)
+        opt_state = jax.tree.map(jnp.asarray, opt_state)
+        sched.load_state_dict(sstate)
+        print(f"resumed from epoch {start_epoch}")
+
+    logger = MetricsLogger(os.path.join(args.out_dir, "metrics.jsonl"))
+    min_val_loss, max_val_corr = np.inf, -np.inf
+    for epoch in range(start_epoch, start_epoch + args.epochs):
+        train_losses = []
+        for bx, by in train_loader:
+            params, opt_state, loss = train_step(
+                params, opt_state, jnp.asarray(bx), jnp.asarray(by)
+            )
+            train_losses.append(float(loss))
+        val_loss, val_corr = evaluate(val_loader)
+        logger.log(epoch, train_loss=np.mean(train_losses), val_loss=val_loss,
+                   val_spearman=val_corr)
+
+        if val_loss < min_val_loss:
+            min_val_loss = val_loss
+            save_checkpoint_state(params, epoch, opt_state, sched.state_dict(), ckpt_minloss)
+        if val_corr > max_val_corr:
+            max_val_corr = val_corr
+            save_checkpoint_state(params, epoch, opt_state, sched.state_dict(), ckpt_maxcorr)
+        opt_state, _ = sched.step(max_val_corr, opt_state)
+        if stopper(val_loss):
+            print("Early stopping")
+            break
+
+    test_loss, test_corr = evaluate(test_loader)
+    print(f"test loss: {test_loss}")
+    print(f"Spearman correlation: {test_corr}")
+
+    # whole-model handoff for the policy scripts (reference gnn-over-mlp.py:489)
+    with open(os.path.join(args.out_dir, "evaluator.pkl"), "wb") as f:
+        pickle.dump(
+            {
+                "model_config": {k: getattr(model, k) for k in (
+                    "gcn_nfeat", "gcn_nhid", "gcn_nclass", "dim_touched",
+                    "linear_nin", "linear_nhid1", "linear_nhid2", "linear_nout")},
+                "params": jax.tree.map(np.asarray, params),
+                "dim_touched": dim_touched,
+                "test_loss": test_loss,
+                "test_spearman": test_corr,
+            },
+            f,
+        )
+    logger.close()
+    return test_loss, test_corr
+
+
+if __name__ == "__main__":
+    main()
