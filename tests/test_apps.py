@@ -1,0 +1,174 @@
+"""End-to-end smoke tests for every CLI app (tiny configs, CPU)."""
+
+import os
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.apps
+
+
+@pytest.fixture(scope="module")
+def gt_csv(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("gt") / "vac.csv")
+    from pygcn_tpu.apps import gt_gen
+
+    gt_gen.main([
+        "--out", path, "--num_samples", "12", "--batch", "6",
+        "--num_seeds", "2", "--hours", "48", "--n_cbgs", "32", "--NN", "4",
+    ])
+    assert os.path.exists(path)
+    return path
+
+
+def test_gt_gen_csv_format(gt_csv):
+    import pandas as pd
+
+    df = pd.read_csv(gt_csv)
+    assert list(df.columns) == [
+        "Vaccinated_Idxs", "Total_Cases", "Case_Rates_STD",
+        "Total_Deaths", "Death_Rates_STD",
+    ]
+    assert len(df) == 13  # baseline + 12 samples
+    assert df["Vaccinated_Idxs"].iloc[0] == "[]"
+    assert (df["Total_Cases"] >= 0).all()
+
+
+def test_gt_gen_grouping_and_safety(tmp_path):
+    from pygcn_tpu.apps import gt_gen
+
+    path = str(tmp_path / "vac_g.csv")
+    gt_gen.main([
+        "--out", path, "--num_samples", "4", "--batch", "4", "--num_seeds", "2",
+        "--hours", "48", "--n_cbgs", "32", "--NN", "3",
+        "--grouping", "--safe_distance", "0.05",
+    ])
+    import pandas as pd
+
+    assert len(pd.read_csv(path)) == 5
+
+
+def test_train_evaluator_and_generator(gt_csv, tmp_path):
+    from pygcn_tpu.apps import train_evaluator, train_generator
+
+    out_dir = str(tmp_path / "eval")
+    test_loss, _ = train_evaluator.main([
+        "--vac_result_path", gt_csv, "--out_dir", out_dir,
+        "--epochs", "3", "--n_cbgs", "32", "--hours", "48", "--NN", "4",
+        "--batch_size", "4",
+    ])
+    assert np.isfinite(test_loss)
+    assert os.path.exists(os.path.join(out_dir, "evaluator.pkl"))
+    assert os.path.exists(os.path.join(out_dir, "checkpoint_minloss.pkl"))
+
+    gen_dir = str(tmp_path / "gen")
+    results = train_generator.main([
+        "--evaluator", os.path.join(out_dir, "evaluator.pkl"),
+        "--out_dir", gen_dir, "--epochs", "4", "--num_seeds", "2",
+        "--n_cbgs", "32", "--hours", "48", "--NN", "4", "--max_validate", "1",
+    ])
+    assert len(results) >= 1
+    assert len(results[0]["policy"]) == 4
+
+    hier_dir = str(tmp_path / "hier")
+    results = train_generator.main([
+        "--evaluator", os.path.join(out_dir, "evaluator.pkl"),
+        "--out_dir", hier_dir, "--epochs", "3", "--num_seeds", "2",
+        "--n_cbgs", "32", "--hours", "48", "--NN", "4", "--max_validate", "1",
+        "--hierarchical",
+    ])
+    assert len(results) >= 1
+
+
+def test_train_evaluator_resume(gt_csv, tmp_path):
+    from pygcn_tpu.apps import train_evaluator
+
+    out_dir = str(tmp_path / "eval_resume")
+    train_evaluator.main([
+        "--vac_result_path", gt_csv, "--out_dir", out_dir,
+        "--epochs", "2", "--n_cbgs", "32", "--hours", "48", "--NN", "4",
+        "--batch_size", "4",
+    ])
+    # resume must pick up the checkpoint and continue without error
+    train_evaluator.main([
+        "--vac_result_path", gt_csv, "--out_dir", out_dir,
+        "--epochs", "2", "--n_cbgs", "32", "--hours", "48", "--NN", "4",
+        "--batch_size", "4", "--resume",
+    ])
+
+
+def test_train_rl(tmp_path):
+    from pygcn_tpu.apps import train_rl
+
+    final_cases, baseline = train_rl.main([
+        "--out_dir", str(tmp_path / "rl"), "--episodes", "2",
+        "--epoch_width", "6", "--num_seeds", "2", "--n_cbgs", "32",
+        "--hours", "48", "--NN", "3",
+    ])
+    assert np.isfinite(final_cases) and np.isfinite(baseline)
+    # cache persisted
+    assert any(f.startswith("sim_cache") for f in os.listdir(tmp_path / "rl"))
+
+
+def test_train_cora_synthetic():
+    from pygcn_tpu.apps import train_cora
+
+    acc = train_cora.main(["--epochs", "60", "--synthetic_nodes", "400", "--fastmode"])
+    assert acc > 0.6
+
+
+def test_train_legacy(gt_csv):
+    from pygcn_tpu.apps import train_legacy
+
+    loss = train_legacy.main([
+        "--vac_result_path", gt_csv, "--epochs", "5",
+        "--n_cbgs", "32", "--hours", "48",
+    ])
+    assert np.isfinite(loss)
+
+
+def test_baselines(gt_csv):
+    from pygcn_tpu.apps import baselines
+
+    mse, corr = baselines.main([
+        "mlp", "--vac_result_path", gt_csv, "--epochs", "3",
+        "--n_cbgs", "32", "--hours", "48", "--batch_size", "4",
+    ])
+    assert np.isfinite(mse)
+    baselines.main(["summary-ols", "--vac_result_path", gt_csv,
+                    "--n_cbgs", "32", "--hours", "48"])
+    baselines.main(["summary-mlp", "--vac_result_path", gt_csv,
+                    "--epochs", "5", "--n_cbgs", "32", "--hours", "48"])
+
+
+def test_no_vac_and_export(tmp_path):
+    from pygcn_tpu.apps import export_dynalearn, no_vac_baseline
+
+    gt_dir = str(tmp_path / "gt")
+    no_vac_baseline.main([
+        "--out_dir", gt_dir, "--num_seeds", "2", "--hours", "48",
+        "--n_cbgs", "32",
+    ])
+    assert os.path.exists(
+        os.path.join(gt_dir, "cases_cbg_no_vaccination_SanFrancisco_2seeds.npy")
+    )
+    import h5py
+
+    for gc in (0, 1, 3):
+        out = export_dynalearn.main([
+            "--gt_dir", gt_dir, "--gen_code", str(gc), "--num_seeds", "2",
+        ])
+        with h5py.File(out, "r") as f:
+            assert "timeseries" in f and "networks" in f
+            assert f["inputs"].shape[3] == 5  # lag window
+
+
+def test_graft_entry_single_and_multichip():
+    import jax
+
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    assert np.asarray(out).shape == (8, 1)
+    ge.dryrun_multichip(8)
