@@ -1,0 +1,145 @@
+"""Layered neighborhood sampling (GraphSAGE-style) for graphs beyond HBM.
+
+No reference counterpart (the reference trains full-batch only); mandated by
+the BASELINE Reddit config ("exercises sampler + gather"). Design is
+TPU-first:
+
+- sampling itself is cheap host-side NumPy over CSR (it is data loading, and
+  is fully overlappable with device compute);
+- each sampled layer is a fixed-fanout **ELL block**: ``cols [m, K]`` indexes
+  into the previous layer's node set, so device aggregation is a gather +
+  weighted reduction along K — static shapes, contiguous output, **no
+  scatter** on the device;
+- weights support mean aggregation or unbiased GCN-normalized aggregation
+  (``A_hat``-weighted with degree/fanout importance scaling), so a sampled
+  step estimates the same propagation the full-batch GCN computes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+
+
+@dataclasses.dataclass(frozen=True)
+class SampledBlock:
+    """One message-passing layer's sampled neighborhood."""
+
+    cols: jax.Array  # [m, K] indices into the previous layer's nodes
+    weights: jax.Array  # [m, K] aggregation weights (0 for padding)
+    self_idx: jax.Array  # [m] index of each output node inside the input set
+
+
+jax.tree_util.register_dataclass(
+    SampledBlock, data_fields=["cols", "weights", "self_idx"], meta_fields=[]
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class SampledBatch:
+    blocks: List[SampledBlock]  # innermost layer first
+    input_nodes: np.ndarray  # global ids feeding layer 0
+    output_nodes: np.ndarray  # global ids of the final layer (the seeds)
+
+
+def aggregate_block(block: SampledBlock, h: jax.Array) -> jax.Array:
+    """[n_in, F] → [m, F]: weighted reduction over the K sampled neighbors."""
+    gathered = jnp.take(h, block.cols.reshape(-1), axis=0).reshape(
+        block.cols.shape + (h.shape[1],)
+    )
+    return (gathered * block.weights[..., None]).sum(axis=1)
+
+
+class NeighborSampler:
+    """Uniform fixed-fanout sampler over a CSR adjacency.
+
+    ``mode='mean'`` averages sampled neighbors (SAGE-mean);
+    ``mode='gcn'`` uses the normalized edge weights scaled by ``deg/K`` so the
+    sampled sum is an unbiased estimator of the full ``A_hat @ h`` row.
+    """
+
+    def __init__(
+        self,
+        adj: sp.spmatrix,
+        fanouts: Sequence[int],
+        mode: str = "gcn",
+        seed: int = 0,
+    ):
+        csr = adj.tocsr()
+        self.indptr = csr.indptr
+        self.indices = csr.indices
+        self.data = csr.data.astype(np.float32)
+        self.n = csr.shape[0]
+        self.fanouts = list(fanouts)
+        self.mode = mode
+        self.rng = np.random.default_rng(seed)
+
+    def _sample_layer(self, out_nodes: np.ndarray, k: int):
+        m = out_nodes.size
+        deg = self.indptr[out_nodes + 1] - self.indptr[out_nodes]
+        picks = self.rng.integers(0, np.maximum(deg, 1)[:, None], (m, k))
+        flat = self.indptr[out_nodes][:, None] + picks  # [m, k] positions
+        cols_global = self.indices[flat]
+        w = self.data[flat]
+        has_edges = deg > 0
+        if self.mode == "gcn":
+            # E[sum_k w_k * (deg/k)] = row sum of A_hat restricted to neighbors
+            weights = w * (deg[:, None] / k)
+        else:
+            weights = np.full((m, k), 1.0 / k, np.float32)
+        weights = np.where(has_edges[:, None], weights, 0.0).astype(np.float32)
+        cols_global = np.where(has_edges[:, None], cols_global, out_nodes[:, None])
+        return cols_global, weights
+
+    def sample(self, seeds: np.ndarray) -> SampledBatch:
+        seeds = np.asarray(seeds, np.int64)
+        blocks_meta = []
+        out_nodes = seeds
+        # build from the outermost (last) layer inward
+        for k in reversed(self.fanouts):
+            cols_global, weights = self._sample_layer(out_nodes, k)
+            need = np.concatenate([out_nodes, cols_global.reshape(-1)])
+            in_nodes, inverse = np.unique(need, return_inverse=True)
+            self_idx = inverse[: out_nodes.size]
+            cols_local = inverse[out_nodes.size :].reshape(cols_global.shape)
+            blocks_meta.append((cols_local, weights, self_idx, out_nodes))
+            out_nodes = in_nodes
+
+        blocks = []
+        for cols_local, weights, self_idx, _ in reversed(blocks_meta):
+            blocks.append(
+                SampledBlock(
+                    cols=jnp.asarray(cols_local.astype(np.int32)),
+                    weights=jnp.asarray(weights),
+                    self_idx=jnp.asarray(self_idx.astype(np.int32)),
+                )
+            )
+        return SampledBatch(
+            blocks=blocks, input_nodes=out_nodes, output_nodes=seeds
+        )
+
+
+def sampled_gcn_forward(params_list, batch: SampledBatch, x_input: jax.Array,
+                        activation=jax.nn.relu, final_activation=None):
+    """Apply a stack of GCN layers over sampled blocks.
+
+    ``params_list``: per-layer dicts with ``w`` [F_in, F_out] and optional
+    ``b``; layer L consumes block L. The math per layer matches
+    ``GraphConv`` (``A_hat``-weighted aggregation of ``x @ W``).
+    """
+    h = x_input
+    n_layers = len(params_list)
+    for i, (p, block) in enumerate(zip(params_list, batch.blocks)):
+        support = jnp.dot(h, p["w"])
+        h = aggregate_block(block, support)
+        if "b" in p:
+            h = h + p["b"]
+        act = activation if i < n_layers - 1 else final_activation
+        if act is not None:
+            h = act(h)
+    return h
