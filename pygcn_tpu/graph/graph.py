@@ -76,6 +76,8 @@ class Graph:
     dense: Optional[jax.Array]  # [N, N] densified adjacency, or None
     bcsr: Optional[BCSR]
     bcsr_t: Optional[BCSR]  # BCSR of A^T (for the backward SpMM)
+    ell: Optional[object]  # bucketed-ELL layout (ops/ell.py)
+    ell_t: Optional[object]  # transpose ELL for the backward SpMM
     n_nodes: int
     n_edges: int  # true edge count, before padding
     is_symmetric: bool
@@ -94,6 +96,8 @@ class Graph:
         is_symmetric: bool = False,
         build_dense: Optional[bool] = None,
         build_bcsr: Optional[bool] = None,
+        build_ell: Optional[bool] = None,
+        ell_ks: tuple[int, ...] = (4, 16, 64, 256),
         tile: tuple[int, int] = (128, 128),
         bcsr_budget_bytes: int = 2 * 1024**3,
         dense_max_nodes: int = 8192,
@@ -145,6 +149,16 @@ class Graph:
         if build_bcsr and not is_symmetric:
             bcsr_t = _build_bcsr(coo.T.tocoo(), tile)
 
+        # ELL is the default fast path for graphs too large/sparse to densify.
+        if build_ell is None:
+            build_ell = not build_dense
+        ell = ell_t = None
+        if build_ell:
+            from pygcn_tpu.ops.ell import build_ell as _mk_ell
+
+            ell = _mk_ell(coo, ell_ks)
+            ell_t = ell if is_symmetric else _mk_ell(coo.T.tocsr(), ell_ks)
+
         return Graph(
             senders=jnp.asarray(senders, jnp.int32),
             receivers=jnp.asarray(receivers, jnp.int32),
@@ -152,6 +166,8 @@ class Graph:
             dense=dense,
             bcsr=bcsr,
             bcsr_t=bcsr_t,
+            ell=ell,
+            ell_t=ell_t,
             n_nodes=int(n_nodes),
             n_edges=n_edges,
             is_symmetric=bool(is_symmetric),
@@ -180,6 +196,7 @@ class Graph:
             n_nodes=self.n_nodes,
             build_dense=self.dense is not None,
             build_bcsr=self.bcsr is not None,
+            build_ell=self.ell is not None,
         )
 
     def to_scipy(self) -> sp.coo_matrix:
@@ -199,7 +216,7 @@ class Graph:
 
 jax.tree_util.register_dataclass(
     Graph,
-    data_fields=["senders", "receivers", "weights", "dense", "bcsr", "bcsr_t"],
+    data_fields=["senders", "receivers", "weights", "dense", "bcsr", "bcsr_t", "ell", "ell_t"],
     meta_fields=["n_nodes", "n_edges", "is_symmetric"],
 )
 

@@ -32,10 +32,12 @@ from pygcn_tpu.graph.graph import Graph
 def _resolve_impl(graph: Graph, impl: str) -> str:
     if impl != "auto":
         return impl
-    if graph.bcsr is not None and (graph.is_symmetric or graph.bcsr_t is not None):
-        return "bcsr"
     if graph.dense is not None:
         return "dense"
+    if graph.ell is not None and graph.ell_t is not None:
+        return "ell"
+    if graph.bcsr is not None and (graph.is_symmetric or graph.bcsr_t is not None):
+        return "bcsr"
     return "segment"
 
 
@@ -51,6 +53,12 @@ def spmm(graph: Graph, x: jax.Array, impl: str = "auto") -> jax.Array:
         out = jnp.dot(graph.dense, x, preferred_element_type=x.dtype)
     elif impl == "segment":
         out = _spmm_segment(graph, x)
+    elif impl == "ell":
+        if graph.ell is None:
+            raise ValueError("graph has no ELL layout; build with build_ell=True")
+        from pygcn_tpu.ops.ell import ell_spmm_pair
+
+        out = ell_spmm_pair(graph.ell, graph.ell_t or graph.ell, x)
     elif impl == "bcsr":
         if graph.bcsr is None:
             raise ValueError("graph has no BCSR layout; build with build_bcsr=True")
@@ -77,6 +85,10 @@ def spmm_t(graph: Graph, x: jax.Array, impl: str = "auto") -> jax.Array:
         # aren't — segment_sum handles unsorted segment ids fine.
         msg = jnp.take(x, graph.receivers, axis=0) * graph.weights[:, None]
         out = jax.ops.segment_sum(msg, graph.senders, num_segments=graph.n_nodes)
+    elif impl == "ell":
+        from pygcn_tpu.ops.ell import ell_spmm_pair
+
+        out = ell_spmm_pair(graph.ell_t or graph.ell, graph.ell, x)
     elif impl == "bcsr":
         if graph.bcsr_t is None:
             raise ValueError("graph has no transpose BCSR layout")
