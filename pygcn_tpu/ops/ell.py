@@ -53,38 +53,35 @@ def build_ell(mat: sp.spmatrix, ks: Tuple[int, ...] = (4, 16, 64, 256)) -> ELL:
     csr = mat.tocsr()
     n = csr.shape[0]
     indptr, indices, data = csr.indptr, csr.indices, csr.data.astype(np.float32)
-    deg = np.diff(indptr)
+    deg = np.diff(indptr).astype(np.int64)
     kmax = ks[-1]
 
-    # assign each row (or virtual row chunk) to a bucket
-    bucket_rows = [[] for _ in ks]  # (row_id, start, length)
-    for i in range(n):
-        d = int(deg[i])
-        if d == 0:
-            bucket_rows[0].append((i, indptr[i], 0))
-            continue
-        start = indptr[i]
-        while d > 0:
-            chunk = min(d, kmax)
-            j = int(np.searchsorted(ks, chunk))
-            bucket_rows[j].append((i, start, chunk))
-            start += chunk
-            d -= chunk
+    # virtual rows: rows wider than kmax split into ceil(deg/kmax) chunks
+    n_chunks = np.maximum(1, -(-deg // kmax))
+    vrow_row = np.repeat(np.arange(n, dtype=np.int64), n_chunks)
+    first = np.concatenate([[0], np.cumsum(n_chunks)[:-1]])
+    chunk_ofs = np.arange(vrow_row.size) - np.repeat(first, n_chunks)
+    vstart = indptr[vrow_row] + chunk_ofs * kmax
+    vlen = np.minimum(deg[vrow_row] - chunk_ofs * kmax, kmax)
+    bucket = np.searchsorted(ks, np.maximum(vlen, 1))
 
     cols_out, vals_out, rows_out = [], [], []
     for j, k in enumerate(ks):
-        entries = bucket_rows[j]
-        nb = max(len(entries), 1)
-        cols = np.zeros((nb, k), np.int32)
-        vals = np.zeros((nb, k), np.float32)
-        rows = np.zeros(nb, np.int32)
-        for b, (i, start, length) in enumerate(entries):
-            cols[b, :length] = indices[start : start + length]
-            vals[b, :length] = data[start : start + length]
-            rows[b] = i
-        cols_out.append(jnp.asarray(cols))
-        vals_out.append(jnp.asarray(vals))
-        rows_out.append(jnp.asarray(rows))
+        sel = np.nonzero(bucket == j)[0]
+        if sel.size == 0:
+            cols_out.append(jnp.zeros((1, k), jnp.int32))
+            vals_out.append(jnp.zeros((1, k), jnp.float32))
+            rows_out.append(jnp.zeros(1, jnp.int32))
+            continue
+        offs = np.arange(k)
+        idx = vstart[sel][:, None] + offs
+        valid = offs < vlen[sel][:, None]
+        idx = np.minimum(idx, max(len(indices) - 1, 0))
+        cols = np.where(valid, indices[idx] if len(indices) else 0, 0)
+        vals = np.where(valid, data[idx] if len(data) else 0.0, 0.0)
+        cols_out.append(jnp.asarray(cols.astype(np.int32)))
+        vals_out.append(jnp.asarray(vals.astype(np.float32)))
+        rows_out.append(jnp.asarray(vrow_row[sel].astype(np.int32)))
 
     return ELL(
         cols=tuple(cols_out), vals=tuple(vals_out), rows=tuple(rows_out),
