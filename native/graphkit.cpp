@@ -1,0 +1,152 @@
+// graphkit — native host-side graph preprocessing kernels.
+//
+// The TPU compute path is JAX/XLA/Pallas; this library accelerates the
+// CPU-side preprocessing that sits in front of it (the reference does all of
+// this in Python/NumPy — e.g. its O(N²·P) adjacency loop at
+// pygcn/utils.py:124-129 and pure-Python CSV parsing):
+//
+//   gk_sort_edges_by_row   — receiver-major stable edge sort (COO canonical
+//                            form for the Graph container)
+//   gk_coo_to_csr          — CSR row-pointer derivation
+//   gk_build_ell_layout    — bucketed-ELL virtual-row layout (the fast SpMM
+//                            path's host build)
+//   gk_parse_edge_list     — fast two/three-column text edge-list parser
+//                            (Planetoid .cites files)
+//
+// Exposed with C linkage and called from Python via ctypes on NumPy buffers
+// (zero-copy). Built by native/build.sh (invoked from setup.py or on first
+// import); pygcn_tpu falls back to the NumPy implementations when the shared
+// library is absent.
+
+#include <algorithm>
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <numeric>
+#include <vector>
+
+extern "C" {
+
+// Stable sort of (senders, receivers, weights) by (receiver, sender).
+// idx_out[e] receives the permutation; caller applies it with NumPy take.
+void gk_sort_edges_by_row(const int64_t* senders, const int64_t* receivers,
+                          int64_t n_edges, int64_t* idx_out) {
+  std::iota(idx_out, idx_out + n_edges, int64_t{0});
+  std::stable_sort(idx_out, idx_out + n_edges, [&](int64_t a, int64_t b) {
+    if (receivers[a] != receivers[b]) return receivers[a] < receivers[b];
+    return senders[a] < senders[b];
+  });
+}
+
+// CSR indptr from row-sorted receiver ids.
+void gk_coo_to_csr(const int64_t* receivers_sorted, int64_t n_edges,
+                   int64_t n_rows, int64_t* indptr_out) {
+  std::memset(indptr_out, 0, sizeof(int64_t) * (n_rows + 1));
+  for (int64_t e = 0; e < n_edges; ++e) indptr_out[receivers_sorted[e] + 1]++;
+  for (int64_t r = 0; r < n_rows; ++r) indptr_out[r + 1] += indptr_out[r];
+}
+
+// Bucketed-ELL planning: split rows into virtual rows of <= ks[n_ks-1]
+// entries and assign each chunk to the smallest bucket K >= chunk length.
+// Pass 1 (counts_out != null, others null): per-bucket virtual-row counts.
+// Pass 2: fills, per bucket b (with base offsets provided by the caller via
+// bucket_base), cols[b][vr*K+j], vals, rows flattened into per-bucket arrays.
+void gk_build_ell_count(const int64_t* indptr, int64_t n_rows,
+                        const int64_t* ks, int64_t n_ks, int64_t* counts_out) {
+  const int64_t kmax = ks[n_ks - 1];
+  std::memset(counts_out, 0, sizeof(int64_t) * n_ks);
+  for (int64_t r = 0; r < n_rows; ++r) {
+    int64_t d = indptr[r + 1] - indptr[r];
+    if (d == 0) {
+      counts_out[0]++;
+      continue;
+    }
+    while (d > 0) {
+      int64_t chunk = d < kmax ? d : kmax;
+      int64_t b = int64_t(std::lower_bound(ks, ks + n_ks, chunk) - ks);
+      counts_out[b]++;
+      d -= chunk;
+    }
+  }
+}
+
+void gk_build_ell_fill(const int64_t* indptr, const int64_t* indices,
+                       const float* data, int64_t n_rows, const int64_t* ks,
+                       int64_t n_ks,
+                       int32_t** cols_out,  // per-bucket [count_b * K_b]
+                       float** vals_out,    // per-bucket [count_b * K_b]
+                       int32_t** rows_out)  // per-bucket [count_b]
+{
+  const int64_t kmax = ks[n_ks - 1];
+  std::vector<int64_t> cursor(n_ks, 0);
+  for (int64_t r = 0; r < n_rows; ++r) {
+    int64_t d = indptr[r + 1] - indptr[r];
+    int64_t start = indptr[r];
+    if (d == 0) {
+      int64_t b = 0, k = ks[0], c = cursor[b]++;
+      std::memset(cols_out[b] + c * k, 0, sizeof(int32_t) * k);
+      std::memset(vals_out[b] + c * k, 0, sizeof(float) * k);
+      rows_out[b][c] = int32_t(r);
+      continue;
+    }
+    while (d > 0) {
+      int64_t chunk = d < kmax ? d : kmax;
+      int64_t b = int64_t(std::lower_bound(ks, ks + n_ks, chunk) - ks);
+      int64_t k = ks[b];
+      int64_t c = cursor[b]++;
+      for (int64_t j = 0; j < chunk; ++j) {
+        cols_out[b][c * k + j] = int32_t(indices[start + j]);
+        vals_out[b][c * k + j] = data[start + j];
+      }
+      for (int64_t j = chunk; j < k; ++j) {
+        cols_out[b][c * k + j] = 0;
+        vals_out[b][c * k + j] = 0.0f;
+      }
+      rows_out[b][c] = int32_t(r);
+      start += chunk;
+      d -= chunk;
+    }
+  }
+}
+
+// Parse a whitespace-separated two-column integer edge list (e.g. Planetoid
+// .cites). Returns the number of edges parsed, or -1 on open failure.
+// Caller provides capacity; pass cap=0 to just count.
+int64_t gk_parse_edge_list(const char* path, int64_t* col0, int64_t* col1,
+                           int64_t cap) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return -1;
+  std::fseek(f, 0, SEEK_END);
+  long size = std::ftell(f);
+  std::fseek(f, 0, SEEK_SET);
+  std::vector<char> buf(size_t(size) + 1);
+  size_t got = std::fread(buf.data(), 1, size_t(size), f);
+  std::fclose(f);
+  buf[got] = '\0';
+
+  int64_t n = 0;
+  const char* p = buf.data();
+  const char* end = p + got;
+  while (p < end) {
+    while (p < end && (*p == ' ' || *p == '\t' || *p == '\n' || *p == '\r')) ++p;
+    if (p >= end) break;
+    char* next = nullptr;
+    long long a = std::strtoll(p, &next, 10);
+    if (next == p) break;
+    p = next;
+    while (p < end && (*p == ' ' || *p == '\t')) ++p;
+    long long b = std::strtoll(p, &next, 10);
+    if (next == p) break;
+    p = next;
+    if (cap > 0) {
+      if (n >= cap) break;
+      col0[n] = a;
+      col1[n] = b;
+    }
+    ++n;
+  }
+  return n;
+}
+
+}  // extern "C"

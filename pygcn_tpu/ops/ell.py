@@ -53,6 +53,21 @@ def build_ell(mat: sp.spmatrix, ks: Tuple[int, ...] = (4, 16, 64, 256)) -> ELL:
     csr = mat.tocsr()
     n = csr.shape[0]
     indptr, indices, data = csr.indptr, csr.indices, csr.data.astype(np.float32)
+
+    # prefer the native graphkit layout builder when available
+    from pygcn_tpu.utils import native
+
+    if native.available():
+        built = native.build_ell_layout(indptr, indices, data, ks)
+        if built is not None:
+            cols, vals, rows = built
+            return ELL(
+                cols=tuple(jnp.asarray(c) for c in cols),
+                vals=tuple(jnp.asarray(v) for v in vals),
+                rows=tuple(jnp.asarray(r) for r in rows),
+                ks=tuple(ks),
+                n_rows=n,
+            )
     deg = np.diff(indptr).astype(np.int64)
     kmax = ks[-1]
 

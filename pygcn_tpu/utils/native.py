@@ -1,0 +1,135 @@
+"""ctypes bindings for the graphkit native library (``native/graphkit.cpp``).
+
+Zero-copy calls on NumPy buffers; every entry point has a NumPy fallback, so
+the framework works identically without the compiled library (``available()``
+reports which path is active). The library is built on demand with g++ via
+``native/build.sh``.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libgraphkit.so")
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+_i64p = ctypes.POINTER(ctypes.c_int64)
+_i32p = ctypes.POINTER(ctypes.c_int32)
+_f32p = ctypes.POINTER(ctypes.c_float)
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not os.path.exists(_LIB_PATH):
+        build = os.path.join(_NATIVE_DIR, "build.sh")
+        if os.path.exists(build):
+            try:
+                subprocess.run(["sh", build], check=True, capture_output=True, timeout=120)
+            except (subprocess.SubprocessError, OSError):
+                return None
+    if not os.path.exists(_LIB_PATH):
+        return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        return None
+    lib.gk_sort_edges_by_row.argtypes = [_i64p, _i64p, ctypes.c_int64, _i64p]
+    lib.gk_coo_to_csr.argtypes = [_i64p, ctypes.c_int64, ctypes.c_int64, _i64p]
+    lib.gk_build_ell_count.argtypes = [_i64p, ctypes.c_int64, _i64p, ctypes.c_int64, _i64p]
+    lib.gk_build_ell_fill.argtypes = [
+        _i64p, _i64p, _f32p, ctypes.c_int64, _i64p, ctypes.c_int64,
+        ctypes.POINTER(_i32p), ctypes.POINTER(_f32p), ctypes.POINTER(_i32p),
+    ]
+    lib.gk_parse_edge_list.argtypes = [ctypes.c_char_p, _i64p, _i64p, ctypes.c_int64]
+    lib.gk_parse_edge_list.restype = ctypes.c_int64
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _ptr(a: np.ndarray, ctype):
+    return a.ctypes.data_as(ctype)
+
+
+def sort_edges_by_row(senders: np.ndarray, receivers: np.ndarray) -> Optional[np.ndarray]:
+    """Permutation sorting edges by (receiver, sender); None → use NumPy."""
+    lib = _load()
+    if lib is None:
+        return None
+    s = np.ascontiguousarray(senders, np.int64)
+    r = np.ascontiguousarray(receivers, np.int64)
+    out = np.empty(s.size, np.int64)
+    lib.gk_sort_edges_by_row(_ptr(s, _i64p), _ptr(r, _i64p), s.size, _ptr(out, _i64p))
+    return out
+
+
+def coo_to_csr(receivers_sorted: np.ndarray, n_rows: int) -> Optional[np.ndarray]:
+    lib = _load()
+    if lib is None:
+        return None
+    r = np.ascontiguousarray(receivers_sorted, np.int64)
+    out = np.empty(n_rows + 1, np.int64)
+    lib.gk_coo_to_csr(_ptr(r, _i64p), r.size, n_rows, _ptr(out, _i64p))
+    return out
+
+
+def build_ell_layout(
+    indptr: np.ndarray, indices: np.ndarray, data: np.ndarray,
+    ks: Sequence[int],
+) -> Optional[Tuple[list, list, list]]:
+    """Per-bucket (cols [Nb,K], vals [Nb,K], rows [Nb]) arrays; None → NumPy."""
+    lib = _load()
+    if lib is None:
+        return None
+    n_rows = indptr.size - 1
+    indptr64 = np.ascontiguousarray(indptr, np.int64)
+    indices64 = np.ascontiguousarray(indices, np.int64)
+    data32 = np.ascontiguousarray(data, np.float32)
+    ks64 = np.ascontiguousarray(ks, np.int64)
+
+    counts = np.zeros(len(ks), np.int64)
+    lib.gk_build_ell_count(_ptr(indptr64, _i64p), n_rows, _ptr(ks64, _i64p),
+                           len(ks), _ptr(counts, _i64p))
+    cols, vals, rows = [], [], []
+    col_ptrs = (_i32p * len(ks))()
+    val_ptrs = (_f32p * len(ks))()
+    row_ptrs = (_i32p * len(ks))()
+    for b, k in enumerate(ks):
+        nb = max(int(counts[b]), 1)
+        cols.append(np.zeros((nb, k), np.int32))
+        vals.append(np.zeros((nb, k), np.float32))
+        rows.append(np.zeros(nb, np.int32))
+        col_ptrs[b] = cols[b].ctypes.data_as(_i32p)
+        val_ptrs[b] = vals[b].ctypes.data_as(_f32p)
+        row_ptrs[b] = rows[b].ctypes.data_as(_i32p)
+    lib.gk_build_ell_fill(
+        _ptr(indptr64, _i64p), _ptr(indices64, _i64p), _ptr(data32, _f32p),
+        n_rows, _ptr(ks64, _i64p), len(ks), col_ptrs, val_ptrs, row_ptrs,
+    )
+    return cols, vals, rows
+
+
+def parse_edge_list(path: str) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    lib = _load()
+    if lib is None:
+        return None
+    n = lib.gk_parse_edge_list(path.encode(), None, None, 0)
+    if n < 0:
+        raise FileNotFoundError(path)
+    a = np.empty(n, np.int64)
+    b = np.empty(n, np.int64)
+    got = lib.gk_parse_edge_list(path.encode(), _ptr(a, _i64p), _ptr(b, _i64p), n)
+    return a[:got], b[:got]

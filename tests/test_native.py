@@ -1,0 +1,87 @@
+"""Native graphkit library vs NumPy fallbacks."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from pygcn_tpu.utils import native
+
+
+requires_native = pytest.mark.skipif(
+    not native.available(), reason="graphkit native library not built"
+)
+
+
+@requires_native
+def test_sort_edges_by_row():
+    rng = np.random.default_rng(0)
+    s = rng.integers(0, 50, 500)
+    r = rng.integers(0, 50, 500)
+    perm = native.sort_edges_by_row(s, r)
+    expected = np.lexsort((s, r))
+    np.testing.assert_array_equal(r[perm], r[expected])
+    np.testing.assert_array_equal(s[perm], s[expected])
+
+
+@requires_native
+def test_coo_to_csr():
+    rng = np.random.default_rng(1)
+    r = np.sort(rng.integers(0, 30, 200))
+    indptr = native.coo_to_csr(r, 30)
+    m = sp.coo_matrix((np.ones(200), (r, np.zeros(200, np.int64))), shape=(30, 1)).tocsr()
+    np.testing.assert_array_equal(indptr, np.concatenate([[0], np.cumsum(np.bincount(r, minlength=30))]))
+
+
+@requires_native
+def test_build_ell_layout_matches_numpy():
+    rng = np.random.default_rng(2)
+    n, e = 200, 3000
+    m = sp.coo_matrix(
+        (rng.uniform(0.1, 1.0, e), (rng.integers(0, n, e), rng.integers(0, n, e))),
+        shape=(n, n),
+    )
+    m.sum_duplicates()
+    csr = m.tocsr()
+    ks = (4, 16, 64)
+    cols, vals, rows = native.build_ell_layout(
+        csr.indptr, csr.indices, csr.data, ks
+    )
+    # reconstruct the dense matrix from the layout
+    dense = np.zeros((n, n))
+    for c, v, r in zip(cols, vals, rows):
+        for b in range(c.shape[0]):
+            for j in range(c.shape[1]):
+                if v[b, j] != 0:
+                    dense[r[b], c[b, j]] += v[b, j]
+    np.testing.assert_allclose(dense, m.toarray(), rtol=1e-6)
+
+
+@requires_native
+def test_parse_edge_list(tmp_path):
+    path = tmp_path / "edges.txt"
+    path.write_text("1 2\n3\t4\n100 200\n")
+    a, b = native.parse_edge_list(str(path))
+    np.testing.assert_array_equal(a, [1, 3, 100])
+    np.testing.assert_array_equal(b, [2, 4, 200])
+
+
+def test_ell_via_native_matches_spmm():
+    """build_ell (whichever path) stays correct end-to-end."""
+    import jax
+    import jax.numpy as jnp
+
+    from pygcn_tpu.ops.ell import build_ell, ell_spmm_raw
+
+    rng = np.random.default_rng(3)
+    n, e = 150, 2000
+    m = sp.coo_matrix(
+        (rng.uniform(0.1, 1.0, e), (rng.integers(0, n, e), rng.integers(0, n, e))),
+        shape=(n, n),
+    )
+    m.sum_duplicates()
+    ell = build_ell(m, (4, 16, 64))
+    x = jnp.asarray(rng.normal(size=(n, 12)).astype(np.float32))
+    out = ell_spmm_raw(ell, x)
+    np.testing.assert_allclose(
+        np.asarray(out), m.toarray() @ np.asarray(x), rtol=2e-4, atol=2e-4
+    )
