@@ -97,7 +97,7 @@ class Graph:
         build_dense: Optional[bool] = None,
         build_bcsr: Optional[bool] = None,
         build_ell: Optional[bool] = None,
-        ell_ks: tuple[int, ...] = (4, 16, 64, 256),
+        ell_ks: tuple[int, ...] = (4, 8, 16, 32, 64, 128, 256),
         tile: tuple[int, int] = (128, 128),
         bcsr_budget_bytes: int = 2 * 1024**3,
         dense_max_nodes: int = 8192,

@@ -49,7 +49,7 @@ jax.tree_util.register_dataclass(
 )
 
 
-def build_ell(mat: sp.spmatrix, ks: Tuple[int, ...] = (4, 16, 64, 256)) -> ELL:
+def build_ell(mat: sp.spmatrix, ks: Tuple[int, ...] = (4, 8, 16, 32, 64, 128, 256)) -> ELL:
     csr = mat.tocsr()
     n = csr.shape[0]
     indptr, indices, data = csr.indptr, csr.indices, csr.data.astype(np.float32)
