@@ -104,8 +104,19 @@ def build_ell(mat: sp.spmatrix, ks: Tuple[int, ...] = (4, 8, 16, 32, 64, 128, 25
     )
 
 
+H_CHUNK = 128  # gather cost is per-row and flat up to 512 B/row, with a
+# cliff above (see PERF_NOTES.md): split wide feature matrices into
+# 128-column chunks so every gather row stays <= 512 B.
+
+
 def ell_spmm_raw(ell: ELL, x: jax.Array) -> jax.Array:
     """``A @ x`` without custom VJP (autodiff reintroduces edge scatters)."""
+    if x.shape[1] > H_CHUNK:
+        return jnp.concatenate(
+            [ell_spmm_raw(ell, x[:, i : i + H_CHUNK])
+             for i in range(0, x.shape[1], H_CHUNK)],
+            axis=1,
+        )
     partials = []
     vrows = []
     for cols, vals, rows in zip(ell.cols, ell.vals, ell.rows):
