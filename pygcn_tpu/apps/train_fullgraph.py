@@ -32,6 +32,9 @@ def main(argv=None):
     ap.add_argument("--lr", type=float, default=0.01)
     ap.add_argument("--weight_decay", type=float, default=0.0)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--remat", action="store_true",
+                    help="rematerialize layer activations in the backward pass "
+                         "(trade FLOPs for HBM on deep/wide configs)")
     args = ap.parse_args(argv)
 
     import jax
@@ -68,12 +71,17 @@ def main(argv=None):
     tx = adam_l2(args.lr, args.weight_decay)
     opt_state = tx.init(params)
 
+    def layer(p, h, is_last):
+        h = spmm(graph, jnp.dot(h, p["w"])) + p["b"]
+        return h if is_last else jax.nn.relu(h)
+
+    if args.remat:
+        layer = jax.checkpoint(layer, static_argnums=(2,))
+
     def forward(params, x):
         h = x
         for i, p in enumerate(params):
-            h = spmm(graph, jnp.dot(h, p["w"])) + p["b"]
-            if i < len(params) - 1:
-                h = jax.nn.relu(h)
+            h = layer(p, h, i == len(params) - 1)
         return jax.nn.log_softmax(h, axis=1)
 
     def loss_fn(params, x, labels, mask):
