@@ -73,6 +73,9 @@ def main(argv=None):
     ap.add_argument("--with_original_feat", action="store_true")
     ap.add_argument("--rel_result", action="store_true", default=True)
     ap.add_argument("--quicktest", action="store_true")
+    ap.add_argument("--kfold", type=int, default=0,
+                    help="k-fold CV over train+val (the reference's commented "
+                         "scaffold at gnn-over-mlp.py:434-480); 0 = off")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--n_cbgs", type=int, default=64)
@@ -149,16 +152,43 @@ def main(argv=None):
     def predict(params, bx):
         return model.apply(params, bx, graph)[:, 0]
 
-    def evaluate(loader):
+    def evaluate(loader, eval_params=None):
+        eval_params = params if eval_params is None else eval_params
         losses, preds, truths = [], [], []
         for bx, by in loader:
-            p = predict(params, jnp.asarray(bx))
+            p = predict(eval_params, jnp.asarray(bx))
             losses.append(float(jnp.mean((p - jnp.asarray(by)) ** 2)))
             preds.append(np.asarray(p))
             truths.append(by)
         preds, truths = np.concatenate(preds), np.concatenate(truths)
         corr = float(spearman(jnp.asarray(preds), jnp.asarray(truths)))
         return float(np.mean(losses)), corr
+
+    if args.kfold > 0:
+        from pygcn_tpu.data.loader import ArrayLoader, kfold_splits
+
+        tv_idx = np.concatenate([res.idx_train, res.idx_val])
+        fold_metrics = []
+        for fold, (tr, va) in enumerate(kfold_splits(len(tv_idx), args.kfold, args.seed)):
+            fparams = model.init(jax.random.key(args.seed + fold))
+            fopt = tx.init(fparams)
+            tr_loader = ArrayLoader(
+                [feats[tv_idx[tr]], y[tv_idx[tr]]], args.batch_size, shuffle=True,
+                seed=args.seed,
+            )
+            va_loader = ArrayLoader([feats[tv_idx[va]], y[tv_idx[va]]], args.batch_size)
+            for _ in range(args.epochs):
+                for bx, by in tr_loader:
+                    fparams, fopt, _ = train_step(
+                        fparams, fopt, jnp.asarray(bx), jnp.asarray(by)
+                    )
+            vl, vc = evaluate(va_loader, fparams)
+            fold_metrics.append((vl, vc))
+            print(f"fold {fold}: val_loss={vl:.4f} val_spearman={vc:.4f}")
+        mean_loss = float(np.mean([m[0] for m in fold_metrics]))
+        mean_corr = float(np.mean([m[1] for m in fold_metrics]))
+        print(f"kfold mean: val_loss={mean_loss:.4f} val_spearman={mean_corr:.4f}")
+        return mean_loss, mean_corr
 
     ckpt_minloss = os.path.join(args.out_dir, "checkpoint_minloss.pkl")
     ckpt_maxcorr = os.path.join(args.out_dir, "checkpoint_maxcorr.pkl")
