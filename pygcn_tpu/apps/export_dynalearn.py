@@ -49,7 +49,6 @@ def build_network(gen_code: int, cases: np.ndarray, avg_array: np.ndarray,
             edge_list = edge_list[:5000]
         edge_attr = avg_array[edge_list[:, 0] - num_cbgs, edge_list[:, 1]].astype(np.float32)
     elif gen_code == 3:
-        import networkx as nx
         from networkx.algorithms import bipartite
 
         num_nodes, num_cbgs = 52, 20

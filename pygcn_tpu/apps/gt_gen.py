@@ -29,7 +29,7 @@ import os
 import numpy as np
 
 from pygcn_tpu.apps.common import World, build_synthetic_world, policy_outcomes
-from pygcn_tpu.sim.model import EpidemicParams, simulate
+from pygcn_tpu.sim.model import simulate
 from pygcn_tpu.sim.policies import (
     assign_groups,
     get_separators,

@@ -27,7 +27,7 @@ from pygcn_tpu.apps.common import build_synthetic_world
 from pygcn_tpu.apps.gt_gen import batch_policy_outcomes
 from pygcn_tpu.data.features import centrality_features, generator_features, standardize
 from pygcn_tpu.policy import ReplayBuffer, SimCache, make_reinforce_episode
-from pygcn_tpu.policy.reinforce import greedy_policy, policy_log_prob
+from pygcn_tpu.policy.reinforce import greedy_policy
 from pygcn_tpu.train import adam_l2
 from pygcn_tpu.utils.logging import MetricsLogger
 

@@ -9,7 +9,7 @@ train+val and returns it with the test loader.
 
 from __future__ import annotations
 
-from typing import Iterator, Optional, Tuple
+from typing import Iterator, Tuple
 
 import numpy as np
 

@@ -9,7 +9,6 @@ behaviour each model reproduces.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

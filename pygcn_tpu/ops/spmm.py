@@ -21,8 +21,6 @@ The reference's single sparse op is ``torch.spmm(adj, support)`` at its
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

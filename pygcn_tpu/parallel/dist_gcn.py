@@ -18,7 +18,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from pygcn_tpu.nn import init as tinit
 from pygcn_tpu.parallel.dist_spmm import make_dist_spmm, pad_node_features
-from pygcn_tpu.parallel.partition import DistPlan, build_dist_plan
+from pygcn_tpu.parallel.partition import DistPlan
 
 
 class DistGCN:

@@ -17,8 +17,6 @@ scatter/gather with swapped roles and the VJP of ``all_to_all`` is the inverse
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax import shard_map

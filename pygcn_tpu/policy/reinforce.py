@@ -18,7 +18,7 @@ TPU-native rebuild of the reference's ``rl-policy-generator.py`` core:
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

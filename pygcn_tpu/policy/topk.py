@@ -10,7 +10,7 @@ flow through the frozen evaluator into the generator
 
 from __future__ import annotations
 
-from typing import Callable, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -27,7 +27,6 @@ confirmations — once ``max(L+I) < 1`` across seeds) are all reproduced.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

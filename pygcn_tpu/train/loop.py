@@ -12,15 +12,12 @@ forward+backward+Adam update per call, everything resident on device.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import Callable, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
-
-from pygcn_tpu.train.metrics import accuracy
 
 
 @dataclasses.dataclass
