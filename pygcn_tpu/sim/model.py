@@ -119,6 +119,11 @@ class EpidemicParams:
     confirmation_lag: float = 168.0
     death_lag: float = 432.0
     clip_poisson_approximation: bool = True
+    # opt-in moment-matched Gaussian draws with stochastic rounding: much
+    # faster on TPU than exact rejection-sampled binomial/Poisson. Mean/var
+    # matched; a small upward bias remains in very-low-mean regimes (the
+    # clip-at-zero tail). Default False = reference-exact distributions.
+    approx_draws: bool = False
 
     @staticmethod
     def build(
@@ -187,14 +192,60 @@ jax.tree_util.register_dataclass(
     meta_fields=[
         "home_beta", "p_sick_at_t0", "vaccination_time", "total_hours", "psi",
         "latency_period", "infectious_period", "confirmation_rate",
-        "confirmation_lag", "death_lag", "clip_poisson_approximation",
+        "confirmation_lag", "death_lag", "clip_poisson_approximation", "approx_draws",
     ],
 )
 
 
-def _binomial(key, n, p):
+def _binomial(key, n, p, approx=False):
     # n arrives as float state; the reference casts to int before drawing
-    return jax.random.binomial(key, jnp.floor(n), jnp.clip(p, 0.0, 1.0))
+    n = jnp.floor(n)
+    p = jnp.clip(p, 0.0, 1.0)
+    if approx:
+        return _fast_count_draw(key, n * p, n * p * (1.0 - p), n)
+    return jax.random.binomial(key, n, p)
+
+
+def _poisson(key, lam, approx=False):
+    if approx:
+        return _fast_count_draw(key, lam, lam, jnp.inf)
+    return jax.random.poisson(key, lam).astype(jnp.float32)
+
+
+_SMALL_MEAN = 4.0
+_KMAX = 12
+
+
+def _fast_count_draw(key, mean, var, upper):
+    """Cheap vectorized count sampler replacing rejection-sampled
+    binomial/Poisson in ``approx_draws`` mode.
+
+    Small means (≤ 4, where a clipped Gaussian is badly biased and the bias
+    compounds through the epidemic's exponential growth) use truncated
+    Poisson CDF inversion (k ≤ 12, residual tail < 1e-4); large means use a
+    stochastically-rounded Gaussian. Both branches are pure VPU math — no
+    rejection ``while_loop``.
+    """
+    kz, ku = jax.random.split(key)
+    u = jax.random.uniform(ku, jnp.shape(mean))
+
+    # branch A: truncated Poisson CDF inversion
+    lam = jnp.clip(mean, 0.0, _SMALL_MEAN)
+    pk = jnp.exp(-lam)
+    cdf = pk
+    count = jnp.zeros_like(mean)
+    for k in range(1, _KMAX + 1):
+        count = count + (u > cdf)
+        pk = pk * lam / k
+        cdf = cdf + pk
+    small = count
+
+    # branch B: Gaussian with stochastic rounding (mean-exact up to clipping)
+    z = jax.random.normal(kz, jnp.shape(mean))
+    y = jnp.floor(mean + jnp.sqrt(jnp.clip(var, 0.0, None)) * z + u)
+    large = jnp.clip(y, 0.0, upper)
+
+    return jnp.where(mean <= _SMALL_MEAN, jnp.minimum(small, upper), large)
 
 
 def _single_seed_hour(state, key, t, params: EpidemicParams, visits: VisitSeq):
@@ -238,27 +289,27 @@ def _single_seed_hour(state, key, t, params: EpidemicParams, visits: VisitSeq):
         w_e * poi_rates[poi_e], cbg_e, num_segments=visits.n_cbgs
     )
     mean_from_poi = jnp.nan_to_num(mean_from_poi)
-    cases_poi_raw = jax.random.poisson(n_keys[0], mean_from_poi).astype(jnp.float32)
+    cases_poi_raw = _poisson(n_keys[0], mean_from_poi, params.approx_draws)
     n_cbgs_active = (mean_from_poi > 0).sum()
     n_cbgs_clipped = (cases_poi_raw > num_sus).sum()
     cases_poi = jnp.clip(cases_poi_raw, None, num_sus)
-    cases_base = _binomial(n_keys[1], num_sus - cases_poi, base_rates)
+    cases_base = _binomial(n_keys[1], num_sus - cases_poi, base_rates, params.approx_draws)
     new_cases = cases_poi + cases_base
 
     # --- update_states (disease_model.py:224-258) ---
-    new_infectious = _binomial(n_keys[2], latent, 1.0 / params.latency_period)
-    new_removed = _binomial(n_keys[3], infected, 1.0 / params.infectious_period)
+    new_infectious = _binomial(n_keys[2], latent, 1.0 / params.latency_period, params.approx_draws)
+    new_removed = _binomial(n_keys[3], infected, 1.0 / params.infectious_period, params.approx_draws)
     latent = latent + new_cases - new_infectious
     infected = infected + new_infectious - new_removed
     removed = removed + new_removed
 
-    new_confirmed = _binomial(n_keys[4], state["cases_to_confirm"], 1.0 / params.confirmation_lag)
-    add_to_confirm = _binomial(n_keys[5], new_infectious, params.confirmation_rate)
+    new_confirmed = _binomial(n_keys[4], state["cases_to_confirm"], 1.0 / params.confirmation_lag, params.approx_draws)
+    add_to_confirm = _binomial(n_keys[5], new_infectious, params.confirmation_rate, params.approx_draws)
     cases_to_confirm = state["cases_to_confirm"] + add_to_confirm - new_confirmed
 
-    new_deaths = _binomial(n_keys[6], state["deaths_to_happen"], 1.0 / params.death_lag)
+    new_deaths = _binomial(n_keys[6], state["deaths_to_happen"], 1.0 / params.death_lag, params.approx_draws)
     key_d = jax.random.fold_in(n_keys[6], 1)
-    add_deaths = _binomial(key_d, new_infectious, death_rate)
+    add_deaths = _binomial(key_d, new_infectious, death_rate, params.approx_draws)
     deaths_to_happen = state["deaths_to_happen"] + add_deaths - new_deaths
 
     new_state = {

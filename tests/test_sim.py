@@ -203,3 +203,19 @@ def test_msa_matching_and_fips():
     assert match_msa_name_to_acs("Fresno_CA", msas) is None  # no shared city
     assert match_msa_name_to_acs("Oakland_CA", msas) == msas[0]
     assert match_msa_name_to_acs("Chicago_IL_IN_WI", msas) == msas[1]
+
+
+def test_approx_draws_match_exact_statistics():
+    """Moment-matched Gaussian draws track the exact distributions."""
+    import dataclasses
+
+    params, visits, _ = tiny_world(hours=48)
+    exact = simulate(params, visits, num_seeds=48, key=jax.random.key(0))
+    approx_params = dataclasses.replace(params, approx_draws=True)
+    approx = simulate(approx_params, visits, num_seeds=48, key=jax.random.key(0))
+    m_exact = float(np.asarray(exact["total_affected"]).mean())
+    m_approx = float(np.asarray(approx["total_affected"]).mean())
+    assert abs(m_exact - m_approx) / max(m_exact, 1.0) < 0.1, (m_exact, m_approx)
+    # confirmations must still flow (stochastic rounding, not deterministic)
+    assert float(np.asarray(approx["C2"]).sum()) > 0
+    assert (np.asarray(approx["cbg_all_affected"]) >= 0).all()

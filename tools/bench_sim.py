@@ -33,6 +33,7 @@ def main():
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--approx", action="store_true", help="moment-matched Gaussian draws")
     args = ap.parse_args()
 
     import jax
@@ -54,6 +55,9 @@ def main():
     rng = np.random.default_rng(0)
     frac = rng.uniform(0, 0.5, (args.batch, args.n_cbgs)).astype(np.float32)
     attack_vacs = jnp.asarray(np.asarray(p.attack_orig) * (1 - frac))
+
+    if args.approx:
+        p = dataclasses.replace(p, approx_draws=True)
 
     def one(attack_vac, k):
         params = dataclasses.replace(p, attack_vac=attack_vac)
