@@ -66,9 +66,12 @@ def build_synthetic_world(
 
     avg = average_visits(list(visits_dense))
     adj = covisitation_adj(avg)
-    graph = Graph.from_scipy(
-        sym_normalize(sp.csr_matrix(adj)), is_symmetric=True, build_dense=True
-    )
+    # The reference feeds the RAW co-visitation matrix to its GCN — no
+    # normalization in the safegraph path (reference pygcn/utils.py:93-132).
+    # The strong VᵀV diagonal preserves node identity (a sym-normalized dense
+    # co-visitation graph oversmooths to near-identical rows in one hop), and
+    # the fresh-BatchNorm quirk keeps the raw scale trainable.
+    graph = Graph.from_scipy(sp.csr_matrix(adj), is_symmetric=True, build_dense=True)
 
     total = total_hours or 2 * hours  # periodic visit reuse past one cycle
     if vaccination_vector is None:
