@@ -37,7 +37,7 @@ from pygcn_tpu.sim.policies import (
 )
 
 
-def batch_policy_outcomes(world: World, vac_vectors: np.ndarray, num_seeds: int, key):
+def batch_policy_outcomes(world: World, vac_vectors: np.ndarray, num_seeds: int, key, approx: bool = False):
     """Simulate a batch of vaccination vectors by vmapping over the
     per-policy post-vaccination attack rates."""
     import jax
@@ -51,7 +51,7 @@ def batch_policy_outcomes(world: World, vac_vectors: np.ndarray, num_seeds: int,
     )
 
     def one(attack_vac, k):
-        params = dataclasses.replace(p, attack_vac=attack_vac)
+        params = dataclasses.replace(p, attack_vac=attack_vac, approx_draws=approx)
         out = simulate(params, world.visits, num_seeds, k)
         return out["history_C2"][-1], out["history_D2"][-1]
 
@@ -141,6 +141,8 @@ def main(argv=None):
     ap.add_argument("--hours", type=int, default=48)
     ap.add_argument("--random_seed", type=int, default=42)
     ap.add_argument("--quick_test", action="store_true")
+    ap.add_argument("--approx", action="store_true",
+                    help="hybrid fast count sampling (see sim.model.approx_draws)")
     ap.add_argument("--out", required=True)
     args = ap.parse_args(argv)
 
@@ -167,7 +169,7 @@ def main(argv=None):
         writer.writeheader()
         # row 0: no-vaccination baseline
         key, sub = jax.random.split(key)
-        rows = batch_policy_outcomes(world, np.zeros((1, world.n_cbgs)), args.num_seeds, sub)
+        rows = batch_policy_outcomes(world, np.zeros((1, world.n_cbgs)), args.num_seeds, sub, args.approx)
         writer.writerow(dict(zip(fields, ["[]"] + list(rows[0]))))
         fh.flush()
 
@@ -198,7 +200,7 @@ def main(argv=None):
             for p in batch_policies
         ])
         key, sub = jax.random.split(key)
-        rows = batch_policy_outcomes(world, vectors, args.num_seeds, sub)
+        rows = batch_policy_outcomes(world, vectors, args.num_seeds, sub, args.approx)
         for p, r in zip(batch_policies, rows):
             writer.writerow(dict(zip(
                 fields, ["[" + ", ".join(map(str, p.tolist())) + "]"] + list(r)

@@ -46,6 +46,8 @@ def main(argv=None):
     ap.add_argument("--vaccination_ratio", type=float, default=0.01)
     ap.add_argument("--num_seeds", type=int, default=4)
     ap.add_argument("--quicktest", action="store_true")
+    ap.add_argument("--approx", action="store_true",
+                    help="fast count sampling for the simulation oracle")
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--n_cbgs", type=int, default=64)
     ap.add_argument("--hours", type=int, default=96)
@@ -100,7 +102,7 @@ def main(argv=None):
             ])
             nonlocal key
             key, sub = jax.random.split(key)
-            rows = batch_policy_outcomes(world, vectors, args.num_seeds, sub)
+            rows = batch_policy_outcomes(world, vectors, args.num_seeds, sub, args.approx)
             return [(r[0], r[1]) for r in rows]
 
         return cache.evaluate_batch(policies, evaluate)
