@@ -147,3 +147,78 @@ def _bwd(res, g):
 
 
 ell_spmm_pair.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------- #
+# Hub-split ELL: route high-traffic senders through a small gather table
+# ---------------------------------------------------------------------- #
+
+
+@dataclasses.dataclass(frozen=True)
+class SplitELL:
+    """Two-table ELL: gathers from a table ≤ ~16K rows run ~2.5-3x faster on
+    TPU than from full-graph tables (see PERF_NOTES.md), so the most-referenced
+    sender columns ("hubs") are compacted into a small table gathered per call.
+    On power-law graphs hubs carry a large share of edges."""
+
+    hub: ELL  # cols index into the compacted hub table
+    rest: ELL  # cols index into the full feature matrix
+    hub_ids: jax.Array  # [n_hubs] global ids of hub senders
+    n_rows: int
+
+
+jax.tree_util.register_dataclass(
+    SplitELL, data_fields=["hub", "rest", "hub_ids"], meta_fields=["n_rows"]
+)
+
+
+def build_split_ell(
+    mat: sp.spmatrix,
+    n_hubs: int = 16384,
+    ks: Tuple[int, ...] = (4, 8, 16, 32, 64, 128, 256),
+) -> SplitELL:
+    csr = mat.tocsr()
+    n = csr.shape[0]
+    n_hubs = min(n_hubs, n)
+    # hubs = most-referenced sender columns
+    col_counts = np.bincount(csr.indices, minlength=n)
+    hub_ids = np.sort(np.argsort(-col_counts)[:n_hubs])
+    hub_local = np.full(n, -1, np.int64)
+    hub_local[hub_ids] = np.arange(n_hubs)
+
+    is_hub = hub_local[csr.indices] >= 0
+    coo = csr.tocoo()
+    rows, cols, data = coo.row, coo.col, coo.data
+
+    def sub(mask, col_map, width):
+        m = sp.csr_matrix(
+            (data[mask], (rows[mask], col_map[cols[mask]])), shape=(n, width)
+        )
+        return build_ell(m, ks)
+
+    hub_ell = sub(is_hub, hub_local, n_hubs)
+    rest_ell = sub(~is_hub, np.arange(n, dtype=np.int64), n)
+    return SplitELL(
+        hub=hub_ell, rest=rest_ell,
+        hub_ids=jnp.asarray(hub_ids.astype(np.int32)), n_rows=n,
+    )
+
+
+def split_ell_spmm_raw(sell: SplitELL, x: jax.Array) -> jax.Array:
+    if x.shape[1] > H_CHUNK:
+        return jnp.concatenate(
+            [split_ell_spmm_raw(sell, x[:, i : i + H_CHUNK])
+             for i in range(0, x.shape[1], H_CHUNK)],
+            axis=1,
+        )
+    x_hub = jnp.take(x, sell.hub_ids, axis=0)
+    partials, vrows = [], []
+    for ell, src in ((sell.hub, x_hub), (sell.rest, x)):
+        for cols, vals, rws in zip(ell.cols, ell.vals, ell.rows):
+            nb, k = cols.shape
+            g = jnp.take(src, cols.reshape(-1), axis=0).reshape(nb, k, x.shape[1])
+            partials.append((g * vals[..., None]).sum(axis=1))
+            vrows.append(rws)
+    p = jnp.concatenate(partials, axis=0)
+    r = jnp.concatenate(vrows, axis=0)
+    return jax.ops.segment_sum(p, r, num_segments=sell.n_rows)
