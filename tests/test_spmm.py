@@ -145,3 +145,20 @@ def test_sddmm_is_spmm_weight_grad():
         rtol=2e-4,
         atol=2e-4,
     )
+
+
+def test_split_ell_matches_plain():
+    from pygcn_tpu.ops.ell import build_ell, build_split_ell, ell_spmm_raw, split_ell_spmm_raw
+
+    rng = np.random.default_rng(0)
+    n, e = 300, 4000
+    m = sp.coo_matrix(
+        (rng.uniform(0.1, 1.0, e), (rng.integers(0, n, e), rng.integers(0, n, e))),
+        shape=(n, n),
+    )
+    m.sum_duplicates()
+    x = jax.random.normal(jax.random.key(0), (n, 16))
+    plain = ell_spmm_raw(build_ell(m.tocsr()), x)
+    split = split_ell_spmm_raw(build_split_ell(m.tocsr(), n_hubs=64), x)
+    np.testing.assert_allclose(np.asarray(plain), np.asarray(split), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(plain), m.toarray() @ np.asarray(x), rtol=2e-4, atol=2e-4)
