@@ -37,26 +37,45 @@ from pygcn_tpu.sim.policies import (
 )
 
 
+_batch_sim_cache = {}
+
+
+def _batch_sim(params, visits, attack_vacs, keys, num_seeds: int):
+    """Module-level jitted batch simulation. Params/visits are explicit jit
+    arguments (device buffers) — closing over them would bake multi-hundred-MB
+    visit arrays into the compiled program as constants."""
+    import jax
+
+    def run(params, visits, attack_vacs, keys):
+        def one(attack_vac, k):
+            p = dataclasses.replace(params, attack_vac=attack_vac)
+            out = simulate(p, visits, num_seeds, k)
+            return out["history_C2"][-1], out["history_D2"][-1]
+
+        return jax.vmap(one)(attack_vacs, keys)
+
+    fn = _batch_sim_cache.get(num_seeds)
+    if fn is None:
+        fn = jax.jit(run)
+        _batch_sim_cache[num_seeds] = fn
+    return fn(params, visits, attack_vacs, keys)
+
+
 def batch_policy_outcomes(world: World, vac_vectors: np.ndarray, num_seeds: int, key, approx: bool = False):
     """Simulate a batch of vaccination vectors by vmapping over the
     per-policy post-vaccination attack rates."""
     import jax
     import jax.numpy as jnp
 
-    p = world.params
+    p = dataclasses.replace(world.params, approx_draws=approx)
     sizes = np.asarray(p.cbg_sizes)
     frac = np.clip(vac_vectors, None, sizes * world.vaccine_acceptance) / sizes
     attack_vacs = jnp.asarray(
         np.clip(np.asarray(p.attack_orig) * (1 - frac), 0, None), jnp.float32
     )
 
-    def one(attack_vac, k):
-        params = dataclasses.replace(p, attack_vac=attack_vac, approx_draws=approx)
-        out = simulate(params, world.visits, num_seeds, k)
-        return out["history_C2"][-1], out["history_D2"][-1]
-
     keys = jax.random.split(key, vac_vectors.shape[0])
-    hist_c, hist_d = jax.jit(jax.vmap(one))(attack_vacs, keys)
+    hist_c, hist_d = _batch_sim(p, world.visits, attack_vacs, keys, num_seeds)
 
     rows = []
     for i in range(vac_vectors.shape[0]):
