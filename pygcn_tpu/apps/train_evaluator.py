@@ -79,6 +79,7 @@ def main(argv=None):
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--n_cbgs", type=int, default=64)
+    ap.add_argument("--n_pois", type=int, default=20)
     ap.add_argument("--hours", type=int, default=96)
     ap.add_argument("--patience", type=int, default=30)
     ap.add_argument("--grad_clip", type=float, default=0.1)
@@ -105,7 +106,8 @@ def main(argv=None):
         ])
 
     world = build_synthetic_world(
-        n_cbgs=args.n_cbgs, hours=args.hours, msa_name=args.msa_name, seed=args.seed
+        n_cbgs=args.n_cbgs, n_pois=args.n_pois, hours=args.hours,
+        msa_name=args.msa_name, seed=args.seed,
     )
     res = load_vac_results(args.vac_result_path, rel_result=args.rel_result)
     node_feats = build_predictor_features(world, res)
