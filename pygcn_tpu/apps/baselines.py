@@ -50,7 +50,8 @@ def numpy_ols(x: np.ndarray, y: np.ndarray):
 
 def build_world_and_features(args):
     world = build_synthetic_world(
-        n_cbgs=args.n_cbgs, hours=args.hours, msa_name=args.msa_name, seed=args.seed
+        n_cbgs=args.n_cbgs, n_pois=args.n_pois, hours=args.hours,
+        msa_name=args.msa_name, seed=args.seed,
     )
     res = load_vac_results(args.vac_result_path, rel_result=True)
     cent = centrality_features(world.adj)
@@ -169,6 +170,7 @@ def main(argv=None):
     ap.add_argument("--quicktest", action="store_true")
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--n_cbgs", type=int, default=64)
+    ap.add_argument("--n_pois", type=int, default=20)
     ap.add_argument("--hours", type=int, default=96)
     args = ap.parse_args(argv)
 

@@ -46,6 +46,7 @@ def main(argv=None):
     ap.add_argument("--quicktest", action="store_true")
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--n_cbgs", type=int, default=64)
+    ap.add_argument("--n_pois", type=int, default=20)
     ap.add_argument("--hours", type=int, default=96)
     ap.add_argument("--max_validate", type=int, default=8)
     ap.add_argument("--out_dir", required=True)
@@ -63,7 +64,8 @@ def main(argv=None):
 
     os.makedirs(args.out_dir, exist_ok=True)
     world = build_synthetic_world(
-        n_cbgs=args.n_cbgs, hours=args.hours, msa_name=args.msa_name, seed=args.seed
+        n_cbgs=args.n_cbgs, n_pois=args.n_pois, hours=args.hours,
+        msa_name=args.msa_name, seed=args.seed,
     )
 
     with open(args.evaluator, "rb") as f:

@@ -38,6 +38,7 @@ def main(argv=None):
     ap.add_argument("--truncate", type=int, default=16)
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--n_cbgs", type=int, default=64)
+    ap.add_argument("--n_pois", type=int, default=20)
     ap.add_argument("--hours", type=int, default=96)
     args = ap.parse_args(argv)
 
@@ -48,7 +49,8 @@ def main(argv=None):
     from pygcn_tpu.nn.models import GCNRegressor
 
     world = build_synthetic_world(
-        n_cbgs=args.n_cbgs, hours=args.hours, msa_name=args.msa_name, seed=args.seed
+        n_cbgs=args.n_cbgs, n_pois=args.n_pois, hours=args.hours,
+        msa_name=args.msa_name, seed=args.seed,
     )
     res = load_vac_results(args.vac_result_path, rel_result=True)
     feats = build_predictor_features(world, res)

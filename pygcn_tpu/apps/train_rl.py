@@ -50,6 +50,7 @@ def main(argv=None):
                     help="fast count sampling for the simulation oracle")
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--n_cbgs", type=int, default=64)
+    ap.add_argument("--n_pois", type=int, default=20)
     ap.add_argument("--hours", type=int, default=96)
     ap.add_argument("--save_checkpoint", action="store_true", default=True)
     ap.add_argument("--out_dir", required=True)
@@ -68,7 +69,8 @@ def main(argv=None):
 
     os.makedirs(args.out_dir, exist_ok=True)
     world = build_synthetic_world(
-        n_cbgs=args.n_cbgs, hours=args.hours, msa_name=args.msa_name, seed=args.seed
+        n_cbgs=args.n_cbgs, n_pois=args.n_pois, hours=args.hours,
+        msa_name=args.msa_name, seed=args.seed,
     )
     cent = centrality_features(world.adj)
     base = np.concatenate([standardize(world.demographics), standardize(world.embeddings)], axis=1)
