@@ -60,8 +60,23 @@ def build_synthetic_world(
     demographics = np.stack([sizes, elder, income, ew], axis=1).astype(np.float32)
     embeddings = rng.normal(size=(n_cbgs, n_embed)).astype(np.float32)
 
-    visits_dense = rng.uniform(0, 3.0, (hours, n_pois, n_cbgs)).astype(np.float32)
-    visits_dense[visits_dense < 2.2] = 0.0
+    # Structured mobility: each CBG visits a small "home set" of POIs chosen
+    # with Zipf-like POI popularity. I.i.d.-uniform visits make the
+    # co-visitation matrix near rank-1 at scale (every pair co-visits
+    # everything), which oversmooths any GCN; home-set structure gives the
+    # graph real communities, like actual SafeGraph mobility.
+    n_home = min(6, n_pois)
+    poi_pop = (1.0 - rng.uniform(size=n_pois)) ** (-1.0 / 1.5)
+    poi_pop /= poi_pop.sum()
+    home_pois = np.stack(
+        [rng.choice(n_pois, n_home, replace=False, p=poi_pop) for _ in range(n_cbgs)]
+    )
+    visits_dense = np.zeros((hours, n_pois, n_cbgs), np.float32)
+    rate = sizes / sizes.mean()
+    for c in range(n_cbgs):
+        v = rng.uniform(0, 3.0, (hours, n_home)) * rate[c]
+        v[v < 1.2 * rate[c]] = 0.0
+        visits_dense[:, home_pois[c], c] = v
     visits = VisitSeq.from_dense(visits_dense)
 
     avg = average_visits(list(visits_dense))
