@@ -22,6 +22,15 @@ from pygcn_tpu.sim import EpidemicParams, VisitSeq, calibration
 from pygcn_tpu.sim.model import simulate
 
 
+def _spectral_norm(a: np.ndarray, iters: int = 30, seed: int = 0) -> float:
+    """Top singular value via power iteration (symmetric a)."""
+    v = np.random.default_rng(seed).normal(size=a.shape[0])
+    for _ in range(iters):
+        v = a @ v
+        v /= np.linalg.norm(v) + 1e-30
+    return float(v @ (a @ v))
+
+
 @dataclasses.dataclass
 class World:
     """A synthetic MSA-shaped workload."""
@@ -82,11 +91,16 @@ def build_synthetic_world(
     avg = average_visits(list(visits_dense))
     adj = covisitation_adj(avg)
     # The reference feeds the RAW co-visitation matrix to its GCN — no
-    # normalization in the safegraph path (reference pygcn/utils.py:93-132).
-    # The strong VᵀV diagonal preserves node identity (a sym-normalized dense
-    # co-visitation graph oversmooths to near-identical rows in one hop), and
-    # the fresh-BatchNorm quirk keeps the raw scale trainable.
-    graph = Graph.from_scipy(sp.csr_matrix(adj), is_symmetric=True, build_dense=True)
+    # normalization in the safegraph path (reference pygcn/utils.py:93-132) —
+    # which works there because its targets are raw case counts at a matching
+    # scale. Per-row (sym) normalization is wrong for dense co-visitation
+    # graphs: it oversmooths every node to the same embedding in one hop.
+    # The structure-preserving middle ground is a SCALAR spectral
+    # normalization: divide by the top singular value so GCN activations stay
+    # O(1) against standardized targets while the VᵀV diagonal keeps node
+    # identity.
+    adj_scaled = adj / max(_spectral_norm(adj), 1e-12)
+    graph = Graph.from_scipy(sp.csr_matrix(adj_scaled), is_symmetric=True, build_dense=True)
 
     total = total_hours or 2 * hours  # periodic visit reuse past one cycle
     if vaccination_vector is None:
