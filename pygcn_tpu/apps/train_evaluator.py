@@ -83,6 +83,10 @@ def main(argv=None):
     ap.add_argument("--hours", type=int, default=96)
     ap.add_argument("--patience", type=int, default=30)
     ap.add_argument("--grad_clip", type=float, default=0.1)
+    ap.add_argument("--data_parallel", action="store_true",
+                    help="shard the policy-sample batch axis over all devices "
+                         "(params replicated; XLA inserts the gradient "
+                         "all-reduce)")
     ap.add_argument("--out_dir", required=True)
     args = ap.parse_args(argv)
 
@@ -133,6 +137,23 @@ def main(argv=None):
         linear_nhid1=64, linear_nhid2=8, linear_nout=1,
     )
     params = model.init(jax.random.key(args.seed))
+    shard_batch = lambda b: b
+    if args.data_parallel:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from pygcn_tpu.parallel import make_mesh
+
+        n_dev = len(jax.devices())
+        if args.batch_size % n_dev:
+            raise SystemExit(
+                f"--data_parallel needs batch_size divisible by {n_dev} devices"
+            )
+        train_loader.drop_last = True  # keep shard shapes uniform
+        mesh = make_mesh([n_dev], ["data"])
+        batch_sharding = NamedSharding(mesh, P("data"))
+        repl = NamedSharding(mesh, P())
+        params = jax.device_put(params, repl)
+        shard_batch = lambda b: jax.device_put(b, batch_sharding)
     tx = adam_l2(args.lr, args.weight_decay, grad_clip_norm=args.grad_clip)
     opt_state = tx.init(params)
     sched = ReduceLROnPlateau(mode="max", factor=0.5, patience=8, min_lr=1e-8)
@@ -208,7 +229,7 @@ def main(argv=None):
         train_losses = []
         for bx, by in train_loader:
             params, opt_state, loss = train_step(
-                params, opt_state, jnp.asarray(bx), jnp.asarray(by)
+                params, opt_state, shard_batch(jnp.asarray(bx)), shard_batch(jnp.asarray(by))
             )
             train_losses.append(float(loss))
         val_loss, val_corr = evaluate(val_loader)

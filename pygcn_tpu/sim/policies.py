@@ -289,3 +289,29 @@ def assign_acceptance_quantile(quantile: int, scenario: str) -> float:
     if rows is None:
         raise ValueError(f"invalid acceptance scenario {scenario!r}")
     return rows[int(quantile)]
+
+
+def vulnerability_and_damage(
+    avg_infect_same: np.ndarray,
+    avg_infect_diff: np.ndarray,
+    cbg_sizes: np.ndarray,
+    death_rates_scaled: np.ndarray,
+    s_ratio: float,
+    i_ratio: float,
+):
+    """Vulnerability/Damage stratification features
+    (reference ``gt-gen-vac-randombag.py:355-390``).
+
+    ``avg_infect_same``/``avg_infect_diff``: per-CBG expected infections from
+    same/different CBGs (precomputed infection matrices). Vulnerability is the
+    population-normalized infection load times the CBG death rate; Damage
+    adds the secondary-infection term scaled by the MSA-average death rate and
+    the S/I ratio snapshot.
+    """
+    sizes = np.asarray(cbg_sizes, np.float64)
+    infect_all_norm = (np.asarray(avg_infect_same) + np.asarray(avg_infect_diff)) / sizes
+    death = np.asarray(death_rates_scaled, np.float64)
+    avg_death = float(sizes @ death / sizes.sum())
+    vulnerability = infect_all_norm * death
+    secondary = infect_all_norm * (infect_all_norm * (s_ratio / i_ratio)) * avg_death
+    return vulnerability, vulnerability + secondary

@@ -172,3 +172,34 @@ def test_graft_entry_single_and_multichip():
     out = jax.jit(fn)(*args)
     assert np.asarray(out).shape == (8, 1)
     ge.dryrun_multichip(8)
+
+
+def test_train_fullgraph():
+    from pygcn_tpu.apps import train_fullgraph
+
+    dt = train_fullgraph.main([
+        "--n_nodes", "1500", "--avg_degree", "5", "--feat_dim", "16",
+        "--hidden", "16", "--epochs", "2", "--layers", "3", "--remat",
+    ])
+    assert dt > 0
+
+
+def test_train_sampled():
+    from pygcn_tpu.apps import train_sampled
+
+    acc = train_sampled.main([
+        "--n_nodes", "2000", "--fanouts", "5", "5", "--batch_size", "128",
+        "--epochs", "1",
+    ])
+    assert 0.0 <= acc <= 1.0
+
+
+def test_train_evaluator_data_parallel(gt_csv, tmp_path):
+    from pygcn_tpu.apps import train_evaluator
+
+    test_loss, _ = train_evaluator.main([
+        "--vac_result_path", gt_csv, "--out_dir", str(tmp_path / "dp"),
+        "--epochs", "2", "--n_cbgs", "32", "--hours", "48", "--NN", "4",
+        "--batch_size", "8", "--data_parallel",
+    ])
+    assert np.isfinite(test_loss)

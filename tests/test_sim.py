@@ -219,3 +219,18 @@ def test_approx_draws_match_exact_statistics():
     # confirmations must still flow (stochastic rounding, not deterministic)
     assert float(np.asarray(approx["C2"]).sum()) > 0
     assert (np.asarray(approx["cbg_all_affected"]) >= 0).all()
+
+
+def test_vulnerability_and_damage():
+    from pygcn_tpu.sim.policies import vulnerability_and_damage
+
+    sizes = np.array([100.0, 200.0])
+    same = np.array([10.0, 5.0])
+    diff = np.array([2.0, 1.0])
+    death = np.array([0.01, 0.02])
+    vul, dam = vulnerability_and_damage(same, diff, sizes, death, s_ratio=0.9, i_ratio=0.01)
+    infect_norm = (same + diff) / sizes
+    avg_death = (sizes * death).sum() / sizes.sum()
+    np.testing.assert_allclose(vul, infect_norm * death)
+    np.testing.assert_allclose(dam, vul + infect_norm**2 * 90.0 * avg_death)
+    assert (dam >= vul).all()
