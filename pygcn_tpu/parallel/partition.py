@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from pygcn_tpu.graph.graph import Graph
+from pygcn_tpu.graph.graph import Graph  # noqa: F401 (used in helpers)
 
 
 def _pad_to(x: int, m: int) -> int:
@@ -147,3 +147,64 @@ def build_dist_plan(graph: Graph, n_shards: int, *, align: int = 8) -> DistPlan:
         halo=halo,
         n_nodes=graph.n_nodes,
     )
+
+
+def locality_order(graph: Graph, method: str = "auto") -> np.ndarray:
+    """Node ordering for partition locality.
+
+    Contiguous range partitioning of an arbitrary node labeling scatters
+    communities across shards (45-79% remote edges on random graphs, see
+    bench_scaling.py). ``'louvain'`` orders nodes community-by-community
+    (best halo reduction; cost grows with edges, used automatically below
+    ~1M edges); ``'bfs'`` keeps neighborhoods contiguous and scales to any
+    size. Returns ``perm`` with ``perm[new_id] = old_id``.
+    """
+    if method == "auto":
+        method = "louvain" if graph.n_edges < 1_000_000 else "bfs"
+    if method == "louvain":
+        import networkx as nx
+
+        a = graph.to_scipy().tocsr()
+        g_nx = nx.from_scipy_sparse_array(a)
+        comms = nx.community.louvain_communities(g_nx, seed=0)
+        comms = sorted(comms, key=len, reverse=True)
+        return np.asarray([n for c in comms for n in sorted(c)], np.int64)
+
+    import scipy.sparse.csgraph as csgraph
+
+    a = graph.to_scipy().tocsr()
+    deg = np.asarray((a != 0).sum(axis=1)).ravel()
+    visited = np.zeros(graph.n_nodes, bool)
+    order = []
+    while len(order) < graph.n_nodes:
+        seeds = np.nonzero(~visited)[0]
+        start = seeds[np.argmax(deg[seeds])]
+        nodes = csgraph.breadth_first_order(a, int(start), directed=False,
+                                            return_predecessors=False)
+        nodes = nodes[~visited[nodes]]
+        visited[nodes] = True
+        order.extend(nodes.tolist())
+    return np.asarray(order, np.int64)
+
+
+def reorder_graph(graph: Graph, perm: np.ndarray) -> tuple:
+    """Relabel nodes by ``perm`` (perm[new_id] = old_id).
+
+    Returns ``(new_graph, inv)`` where features/labels must be taken as
+    ``x[perm]`` and outputs map back with ``y_new[inv] == y_old`` ... i.e.
+    ``inv[old_id] = new_id``.
+    """
+    inv = np.empty(graph.n_nodes, np.int64)
+    inv[perm] = np.arange(graph.n_nodes)
+    e = graph.n_edges
+    senders = inv[np.asarray(graph.senders[:e])]
+    receivers = inv[np.asarray(graph.receivers[:e])]
+    weights = np.asarray(graph.weights[:e])
+    new_graph = Graph.from_coo(
+        senders, receivers, weights, n_nodes=graph.n_nodes,
+        is_symmetric=graph.is_symmetric,
+        build_dense=graph.dense is not None,
+        build_bcsr=graph.bcsr is not None,
+        build_ell=graph.ell is not None,
+    )
+    return new_graph, inv

@@ -69,3 +69,35 @@ def test_plan_halo_only_boundary_nodes():
     assert int(plan.rem_h.max()) < 4 * plan.halo
     # halo is bounded by shard size (dedup): can't exceed nodes per shard
     assert plan.halo <= plan.shard_size + 8
+
+
+def test_locality_order_reduces_remote_edges():
+    """BFS ordering cuts the halo on community-structured graphs."""
+    from pygcn_tpu.graph.datasets import sbm_classification
+    from pygcn_tpu.parallel.partition import locality_order, reorder_graph
+
+    data = sbm_classification(
+        n=400, n_classes=8, homophily=0.95, avg_degree=10, seed=0,
+        build_dense=False, build_bcsr=False, build_ell=False,
+    )
+    g = data.graph
+
+    def remote_fraction(graph):
+        plan = build_dist_plan(graph, 4)
+        return float(plan.rem_w.astype(bool).sum()) / graph.n_edges
+
+    # scramble node ids to simulate arbitrary labeling
+    rng = np.random.default_rng(1)
+    scramble = rng.permutation(g.n_nodes)
+    g_scrambled, _ = reorder_graph(g, scramble)
+    base = remote_fraction(g_scrambled)
+
+    perm = locality_order(g_scrambled, 'louvain')
+    g_ordered, inv = reorder_graph(g_scrambled, perm)
+    improved = remote_fraction(g_ordered)
+    assert improved < base * 0.7, (base, improved)
+
+    # reordering preserves the operator: A_new[inv][:, inv] == A_old
+    a_old = g_scrambled.to_scipy().toarray()
+    a_new = g_ordered.to_scipy().toarray()
+    np.testing.assert_allclose(a_new[np.ix_(inv, inv)], a_old, rtol=1e-6)
