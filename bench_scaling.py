@@ -25,6 +25,8 @@ def main():
     ap.add_argument("--devices", type=int, nargs="+", default=None)
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
     ap.add_argument("--cpu_devices", type=int, default=8)
+    ap.add_argument("--order", choices=["none", "bfs", "louvain", "auto"], default="none",
+                    help="locality-aware node reordering before partitioning")
     args = ap.parse_args()
 
     import jax
@@ -50,6 +52,11 @@ def main():
     graph = Graph.from_scipy(
         adj, is_symmetric=True, build_dense=False, build_bcsr=False, build_ell=False
     )
+    if args.order != "none":
+        from pygcn_tpu.parallel.partition import locality_order, reorder_graph
+
+        graph, _ = reorder_graph(graph, locality_order(graph, args.order))
+        print(f"reordered nodes with {args.order} locality ordering")
     print(f"graph: {graph.n_nodes} nodes, {graph.n_edges} edges, "
           f"{n_avail} devices ({jax.devices()[0].platform})")
 
