@@ -149,6 +149,10 @@ def main(argv=None):
     ap.add_argument("--vaccination_time", type=int, default=1, help="in days")
     ap.add_argument("--num_seeds", type=int, default=8)
     ap.add_argument("--proportional", action="store_true", default=True)
+    ap.add_argument("--distribution", choices=["fixed_nn", "flood"], default="fixed_nn",
+                    help="fixed_nn: budget split over NN sampled CBGs (G5-G7); "
+                         "flood: water-flood by a randomly-weighted demographic "
+                         "ranking (the randombag driver's scheme, G8)")
     ap.add_argument("--grouping", action="store_true",
                     help="sample within hybrid demographic groups (G6 --grouping)")
     ap.add_argument("--safe_distance", type=float, default=0.0,
@@ -177,6 +181,9 @@ def main(argv=None):
         seed=args.random_seed,
     )
     group_ids = hybrid_groups(world)
+    from pygcn_tpu.data.features import standardize
+
+    standardized_demo = standardize(world.demographics)
     rng = np.random.default_rng(args.random_seed)
     key = jax.random.key(args.random_seed)
 
@@ -211,13 +218,29 @@ def main(argv=None):
                 accepted_points.append(pt)
             batch_policies.append(np.sort(idxs))
 
-        vectors = np.stack([
-            vaccine_distribution_fixed_nn(
-                world.sizes, args.vaccination_ratio, args.NN,
-                proportional=args.proportional, target_idxs=p,
-            )
-            for p in batch_policies
-        ])
+        if args.distribution == "flood":
+            from pygcn_tpu.sim.policies import vaccine_distribution_flood
+
+            # G8-style: rank CBGs by a random mixture of demographic features
+            # and flood the budget down the ranking
+            vectors = []
+            for p in batch_policies:
+                wgt = rng.dirichlet(np.ones(3))
+                feature = (standardized_demo[:, 1:4] * wgt).sum(axis=1)
+                vectors.append(vaccine_distribution_flood(
+                    world.sizes, args.vaccination_ratio, feature,
+                    ascending=bool(rng.integers(0, 2)), execution_ratio=1.0,
+                ))
+            vectors = np.stack(vectors)
+            batch_policies = [np.nonzero(v)[0][: args.NN] for v in vectors]
+        else:
+            vectors = np.stack([
+                vaccine_distribution_fixed_nn(
+                    world.sizes, args.vaccination_ratio, args.NN,
+                    proportional=args.proportional, target_idxs=p,
+                )
+                for p in batch_policies
+            ])
         key, sub = jax.random.split(key)
         rows = batch_policy_outcomes(world, vectors, args.num_seeds, sub, args.approx)
         for p, r in zip(batch_policies, rows):
