@@ -170,7 +170,7 @@ def test_graft_entry_single_and_multichip():
 
     fn, args = ge.entry()
     out = jax.jit(fn)(*args)
-    assert np.asarray(out).shape == (8, 1)
+    assert np.asarray(out).shape == (4, 1)
     ge.dryrun_multichip(8)
 
 
