@@ -63,6 +63,21 @@ class Config:
                 flat[k] = v
         return flat
 
+    def has_list(self) -> bool:
+        """True if any flat config value is a list (sweep detection,
+        reference ``pygcn/config.py:76-80``)."""
+        return any(isinstance(v, list) for v in self.state_dict.values())
+
+    def to_string(self, prefix: str = "") -> str:
+        out = []
+        for k, v in self.__dict__.items():
+            if isinstance(v, Config):
+                out.append(f"{prefix}{k}:")
+                out.append(v.to_string(prefix=prefix + "\t"))
+            else:
+                out.append(f"{prefix}{k}: {v}")
+        return "\n".join(out)
+
     def keys(self):
         return self.__dict__.keys()
 
