@@ -248,13 +248,20 @@ def _fast_count_draw(key, mean, var, upper):
     return jnp.where(mean <= _SMALL_MEAN, jnp.minimum(small, upper), large)
 
 
-def _single_seed_hour(state, key, t, params: EpidemicParams, visits: VisitSeq):
-    """One hour for one seed. ``state``: dict of [N] float arrays."""
-    n_keys = jax.random.split(key, 7)
+def compute_hour_rates(state, t, params: EpidemicParams, visits: VisitSeq):
+    """Deterministic per-hour infection quantities (reference
+    ``get_new_cases`` math, ``disease_model.py:260-345``), exposed separately
+    so the formulas can be golden-tested against direct NumPy:
+
+    - ``base_rates``: home infection rates ``β·α(t)·I/n`` (clipped to 1);
+    - ``poi_rates``: per-POI rates ``ψd²/a · Σ_c V[p,c]·I_c/n_c`` (clipped);
+    - ``mean_from_poi``: per-CBG expected POI-sourced cases
+      ``α(t)·s/n · Σ_p V[p,c]·poi_rates[p]``;
+    plus num_sus, attack/death rate vectors and the clip counters.
+    """
     sizes = params.cbg_sizes
     latent, infected, removed = state["latent"], state["infected"], state["removed"]
 
-    # --- get_new_cases (disease_model.py:260-345) ---
     densities = infected / sizes
     num_sus = jnp.clip(sizes - latent - infected - removed, 0.0, None)
     sus_frac = num_sus / sizes
@@ -289,6 +296,33 @@ def _single_seed_hour(state, key, t, params: EpidemicParams, visits: VisitSeq):
         w_e * poi_rates[poi_e], cbg_e, num_segments=visits.n_cbgs
     )
     mean_from_poi = jnp.nan_to_num(mean_from_poi)
+    return {
+        "base_rates": base_rates,
+        "poi_rates": poi_rates,
+        "mean_from_poi": mean_from_poi,
+        "num_sus": num_sus,
+        "attack": attack,
+        "death_rate": death_rate,
+        "n_base_clipped": n_base_clipped,
+        "n_active_pois": n_active_pois,
+        "n_poi_clipped": n_poi_clipped,
+    }
+
+
+def _single_seed_hour(state, key, t, params: EpidemicParams, visits: VisitSeq):
+    """One hour for one seed. ``state``: dict of [N] float arrays."""
+    n_keys = jax.random.split(key, 7)
+
+    # --- get_new_cases (disease_model.py:260-345) ---
+    rates = compute_hour_rates(state, t, params, visits)
+    base_rates = rates["base_rates"]
+    mean_from_poi = rates["mean_from_poi"]
+    num_sus = rates["num_sus"]
+    death_rate = rates["death_rate"]
+    latent, infected, removed = state["latent"], state["infected"], state["removed"]
+    n_base_clipped = rates["n_base_clipped"]
+    n_active_pois = rates["n_active_pois"]
+    n_poi_clipped = rates["n_poi_clipped"]
     cases_poi_raw = _poisson(n_keys[0], mean_from_poi, params.approx_draws)
     n_cbgs_active = (mean_from_poi > 0).sum()
     n_cbgs_clipped = (cases_poi_raw > num_sus).sum()

@@ -234,3 +234,51 @@ def test_vulnerability_and_damage():
     np.testing.assert_allclose(vul, infect_norm * death)
     np.testing.assert_allclose(dam, vul + infect_norm**2 * 90.0 * avg_death)
     assert (dam >= vul).all()
+
+
+def test_hour_rates_match_reference_formulas():
+    """Golden test: the per-hour rate math equals direct NumPy evaluation of
+    the reference formulas (disease_model.py:260-345)."""
+    from pygcn_tpu.sim.model import compute_hour_rates
+
+    rng = np.random.default_rng(7)
+    n, m = 12, 5
+    params, visits, sizes = tiny_world(n_cbgs=n, n_pois=m, hours=24, seed=7)
+    state = {
+        "latent": jnp.asarray(rng.uniform(0, 30, n).astype(np.float32)),
+        "infected": jnp.asarray(rng.uniform(0, 50, n).astype(np.float32)),
+        "removed": jnp.asarray(rng.uniform(0, 20, n).astype(np.float32)),
+    }
+    t = 30  # after vaccination_time=24 → post-vac rates
+
+    out = compute_hour_rates(state, t, params, visits)
+
+    # direct NumPy evaluation
+    infected = np.asarray(state["infected"])
+    latent = np.asarray(state["latent"])
+    removed = np.asarray(state["removed"])
+    dens = infected / sizes
+    num_sus = np.clip(sizes - latent - infected - removed, 0, None)
+    attack = np.asarray(params.attack_vac)
+    base = np.clip(params.home_beta * attack * dens, None, 1.0)
+
+    # rebuild the dense visit matrix for hour t
+    tp = t % visits.period
+    v = np.zeros((m, n), np.float32)
+    poi_e = np.asarray(visits.poi_idx[tp])
+    cbg_e = np.asarray(visits.cbg_idx[tp])
+    w_e = np.asarray(visits.w[tp])
+    np.add.at(v, (poi_e, cbg_e), w_e)
+
+    poi_rates = np.clip(np.asarray(params.poi_factors) * (v @ dens), None, 1.0)
+    mean_poi = attack * (num_sus / sizes) * (poi_rates @ v)
+
+    np.testing.assert_allclose(np.asarray(out["base_rates"]), base, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out["poi_rates"]), poi_rates, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out["mean_from_poi"]), mean_poi, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out["num_sus"]), num_sus, rtol=1e-6)
+
+    # before vaccination time → original rates
+    out_pre = compute_hour_rates(state, 3, params, visits)
+    base_pre = np.clip(params.home_beta * np.asarray(params.attack_orig) * dens, None, 1.0)
+    np.testing.assert_allclose(np.asarray(out_pre["base_rates"]), base_pre, rtol=1e-5, atol=1e-6)
