@@ -226,3 +226,70 @@ def test_init_distribution_bounds():
     assert w.max() > 0.8 * bound  # actually fills the range
     b = np.asarray(params["b"])
     assert np.abs(b).max() <= 1.0 / np.sqrt(16)
+
+
+def test_generator_mlp3_parity():
+    """GeneratorMLPLayers: batch-standardize after ReLU on layers 1-2
+    (pygcn/models.py:220-241)."""
+    from pygcn_tpu.nn.layers import GeneratorMLP3
+
+    mlp = GeneratorMLP3(6, 16, 8, 1)
+    params = mlp.init(jax.random.key(10))
+    x = np.random.default_rng(10).normal(size=(30, 6)).astype(np.float32)
+    ours = mlp(params, jnp.asarray(x))
+
+    h = torch.tensor(x)
+    for i, name in enumerate(("linear1", "linear2", "linear3")):
+        w = torch.tensor(np.asarray(params[name]["w"]))
+        b = torch.tensor(np.asarray(params[name]["b"]))
+        h = h @ w + b
+        if i < 2:
+            h = fresh_bn(F.relu(h))
+    np.testing.assert_allclose(np.asarray(ours), h.detach().numpy(), rtol=2e-3, atol=1e-3)
+
+
+def test_softmax_mlp3_parity():
+    """SoftGeneratorMLP: final softmax over the NODE axis (dim=0)
+    (pygcn/models.py:244-264)."""
+    from pygcn_tpu.nn.layers import SoftmaxMLP3
+
+    mlp = SoftmaxMLP3(6, 16, 8, 1)
+    params = mlp.init(jax.random.key(11))
+    x = np.random.default_rng(11).normal(size=(25, 6)).astype(np.float32)
+    ours = np.asarray(mlp(params, jnp.asarray(x)))
+    np.testing.assert_allclose(ours.sum(axis=0), 1.0, rtol=1e-5)
+
+    h = torch.tensor(x)
+    for i, name in enumerate(("linear1", "linear2", "linear3")):
+        w = torch.tensor(np.asarray(params[name]["w"]))
+        b = torch.tensor(np.asarray(params[name]["b"]))
+        h = h @ w + b
+        if i < 2:
+            h = fresh_bn(F.relu(h))
+    theirs = F.softmax(h, dim=0)
+    np.testing.assert_allclose(ours, theirs.detach().numpy(), rtol=2e-3, atol=1e-3)
+
+
+def test_pool_key_and_attention_parity():
+    """SoftGeneratorPoolMLP (mean-pool key, pygcn/models.py:289-312) +
+    SoftGeneratorAttention (dot-product softmax, :316-329)."""
+    from pygcn_tpu.nn.layers import PoolKeyMLP, attention_scores
+
+    pool = PoolKeyMLP(8, 16, 8)
+    params = pool.init(jax.random.key(12))
+    x = np.random.default_rng(12).normal(size=(20, 8)).astype(np.float32)
+    key_vec = pool(params, jnp.asarray(x))
+    assert key_vec.shape == (1, 8)  # key dim == nin
+
+    h = torch.mean(torch.tensor(x), dim=0).unsqueeze(0)
+    for i, name in enumerate(("linear1", "linear2", "linear3")):
+        w = torch.tensor(np.asarray(params[name]["w"]))
+        b = torch.tensor(np.asarray(params[name]["b"]))
+        h = h @ w + b
+        if i < 2:
+            h = F.relu(h)
+    np.testing.assert_allclose(np.asarray(key_vec), h.detach().numpy(), rtol=1e-4, atol=1e-5)
+
+    attn = attention_scores(key_vec, jnp.asarray(x))
+    theirs = F.softmax(torch.mul(h, torch.tensor(x)).sum(dim=1), dim=0)
+    np.testing.assert_allclose(np.asarray(attn), theirs.detach().numpy(), rtol=1e-4, atol=1e-5)

@@ -282,3 +282,38 @@ def test_hour_rates_match_reference_formulas():
     out_pre = compute_hour_rates(state, 3, params, visits)
     base_pre = np.clip(params.home_beta * np.asarray(params.attack_orig) * dens, None, 1.0)
     np.testing.assert_allclose(np.asarray(out_pre["base_rates"]), base_pre, rtol=1e-5, atol=1e-6)
+
+
+def test_batch_simulation_sharded_over_devices():
+    """The vmapped policy batch shards over the device mesh (the reference's
+    multiprocessing fan-out as a mesh axis)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from pygcn_tpu.parallel import make_mesh
+
+    params, visits, _ = tiny_world(hours=24)
+    mesh = make_mesh([8], ["data"])
+
+    def one(attack_vac, k):
+        p = dataclasses.replace(params, attack_vac=attack_vac, approx_draws=True)
+        out = simulate(p, visits, 2, k)
+        return out["total_affected"].sum()
+
+    batch = 16
+    attack_vacs = jnp.tile(params.attack_orig[None], (batch, 1)) * jnp.linspace(
+        0.5, 1.0, batch
+    )[:, None]
+    keys = jax.random.split(jax.random.key(0), batch)
+    sharding = NamedSharding(mesh, P("data"))
+    attack_vacs = jax.device_put(attack_vacs, sharding)
+    keys = jax.device_put(keys, sharding)
+
+    totals = jax.jit(jax.vmap(one))(attack_vacs, keys)
+    assert totals.shape == (batch,)
+    assert np.isfinite(np.asarray(totals)).all()
+    # lower attack rates → fewer cases, monotone-ish across the sweep
+    t = np.asarray(totals)
+    assert t[:4].mean() < t[-4:].mean()
