@@ -174,6 +174,10 @@ def main(argv=None):
     ap.add_argument("--hours", type=int, default=96)
     args = ap.parse_args(argv)
 
+    from pygcn_tpu.apps.common import set_process_title
+
+    set_process_title("baselines")
+
     if args.cmd == "mlp":
         return run_mlp(args)
     if args.cmd == "summary-ols":

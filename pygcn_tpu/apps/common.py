@@ -169,3 +169,14 @@ def policy_outcomes(out, sizes: np.ndarray):
         float(deaths_cbg.sum()),
         float(death_rates.std()),
     )
+
+
+def set_process_title(app_name: str) -> None:
+    """Ops-visibility process title (the reference sets one in every script,
+    e.g. ``pygcn/train.py:4-5``); gated — setproctitle is optional."""
+    try:
+        import setproctitle
+
+        setproctitle.setproctitle(f"pygcn-tpu@{app_name}")
+    except ImportError:
+        pass

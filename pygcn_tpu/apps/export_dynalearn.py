@@ -97,6 +97,10 @@ def main(argv=None):
     ap.add_argument("--out", default=None)
     args = ap.parse_args(argv)
 
+    from pygcn_tpu.apps.common import set_process_title
+
+    set_process_title("export_dynalearn")
+
     import h5py
 
     cases = np.load(os.path.join(

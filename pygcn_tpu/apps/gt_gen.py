@@ -169,6 +169,10 @@ def main(argv=None):
     ap.add_argument("--out", required=True)
     args = ap.parse_args(argv)
 
+    from pygcn_tpu.apps.common import set_process_title
+
+    set_process_title("gt_gen")
+
     import jax
 
     if args.quick_test:

@@ -33,6 +33,10 @@ def main(argv=None):
     ap.add_argument("--out_dir", required=True)
     args = ap.parse_args(argv)
 
+    from pygcn_tpu.apps.common import set_process_title
+
+    set_process_title("no_vac_baseline")
+
     import jax
 
     if args.quick_test:

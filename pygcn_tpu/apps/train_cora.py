@@ -35,6 +35,10 @@ def main(argv=None):
     ap.add_argument("--synthetic_nodes", type=int, default=1500)
     args = ap.parse_args(argv)
 
+    from pygcn_tpu.apps.common import set_process_title
+
+    set_process_title("train_cora")
+
     import jax
     import jax.numpy as jnp
 

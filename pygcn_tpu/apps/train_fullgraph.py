@@ -37,6 +37,10 @@ def main(argv=None):
                          "(trade FLOPs for HBM on deep/wide configs)")
     args = ap.parse_args(argv)
 
+    from pygcn_tpu.apps.common import set_process_title
+
+    set_process_title("train_fullgraph")
+
     import jax
     import jax.numpy as jnp
     import numpy as np

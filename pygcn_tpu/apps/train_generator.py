@@ -52,6 +52,10 @@ def main(argv=None):
     ap.add_argument("--out_dir", required=True)
     args = ap.parse_args(argv)
 
+    from pygcn_tpu.apps.common import set_process_title
+
+    set_process_title("train_generator")
+
     import jax
     import jax.numpy as jnp
 

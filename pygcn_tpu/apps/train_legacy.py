@@ -42,6 +42,10 @@ def main(argv=None):
     ap.add_argument("--hours", type=int, default=96)
     args = ap.parse_args(argv)
 
+    from pygcn_tpu.apps.common import set_process_title
+
+    set_process_title("train_legacy")
+
     import jax
     import jax.numpy as jnp
     import optax

@@ -30,6 +30,10 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args(argv)
 
+    from pygcn_tpu.apps.common import set_process_title
+
+    set_process_title("train_sampled")
+
     import jax
     import jax.numpy as jnp
     import numpy as np
