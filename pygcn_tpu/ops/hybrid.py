@@ -1,0 +1,103 @@
+"""Hybrid BCSR + ELL SpMM — MXU tiles for dense regions, gather for the rest.
+
+Measured per-edge costs on a v5e (PERF_NOTES.md): Pallas BCSR processes a
+128×128 tile in ~0.4 µs regardless of fill, while the ELL gather path costs
+~4.1 ns/edge — so a tile pays for itself above ~100 edges (0.6% fill). On
+graphs with community structure (real-world graphs after Louvain ordering,
+co-visitation graphs), a significant edge share concentrates in such tiles.
+
+``build_hybrid`` routes tiles with ≥ ``min_edges_per_tile`` edges to a BCSR
+layout and the residual edges to bucketed ELL; ``hybrid_spmm`` adds the two
+partial products. Symmetric graphs reuse the forward layouts for the
+backward (custom VJP); asymmetric graphs prebuild transposes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+
+from pygcn_tpu.graph.graph import BCSR, _build_bcsr
+from pygcn_tpu.ops.ell import ELL, build_ell, ell_spmm_raw
+
+
+@dataclasses.dataclass(frozen=True)
+class HybridLayout:
+    bcsr: Optional[BCSR]  # None when no tile is dense enough
+    ell: ELL  # residual edges (all edges if bcsr is None)
+    n_rows: int
+    tile_edges: int  # edges routed to BCSR (diagnostics)
+
+
+jax.tree_util.register_dataclass(
+    HybridLayout, data_fields=["bcsr", "ell"], meta_fields=["n_rows", "tile_edges"]
+)
+
+
+def build_hybrid(
+    mat: sp.spmatrix,
+    tile: Tuple[int, int] = (128, 128),
+    min_edges_per_tile: int = 128,
+    ks: Tuple[int, ...] = (4, 8, 16, 32, 64, 128, 256),
+) -> HybridLayout:
+    coo = mat.tocoo()
+    n = coo.shape[0]
+    tm, tk = tile
+    n_block_cols = -(-coo.shape[1] // tk)
+
+    tile_ids = (coo.row // tm).astype(np.int64) * n_block_cols + coo.col // tk
+    uniq, inverse, counts = np.unique(tile_ids, return_inverse=True, return_counts=True)
+    dense_tile = counts[inverse] >= min_edges_per_tile
+
+    tile_edges = int(dense_tile.sum())
+    bcsr = None
+    if tile_edges:
+        dense_part = sp.coo_matrix(
+            (coo.data[dense_tile], (coo.row[dense_tile], coo.col[dense_tile])),
+            shape=coo.shape,
+        )
+        bcsr = _build_bcsr(dense_part, tile)
+        rest_mask = ~dense_tile
+    else:
+        rest_mask = np.ones(coo.nnz, bool)
+
+    rest = sp.csr_matrix(
+        (coo.data[rest_mask], (coo.row[rest_mask], coo.col[rest_mask])), shape=coo.shape
+    )
+    return HybridLayout(
+        bcsr=bcsr, ell=build_ell(rest, ks), n_rows=n, tile_edges=tile_edges
+    )
+
+
+def hybrid_spmm_raw(h: HybridLayout, x: jax.Array) -> jax.Array:
+    out = ell_spmm_raw(h.ell, x)
+    if h.bcsr is not None:
+        from pygcn_tpu.ops.pallas.bcsr_spmm import bcsr_spmm
+
+        out = out + bcsr_spmm(h.bcsr, x, n_rows=h.n_rows)
+    return out
+
+
+@jax.custom_vjp
+def hybrid_spmm_pair(h: HybridLayout, h_t: HybridLayout, x: jax.Array) -> jax.Array:
+    """``A @ x`` with backward ``A^T @ g`` on the transpose layout."""
+    return hybrid_spmm_raw(h, x)
+
+
+def _fwd(h, h_t, x):
+    return hybrid_spmm_raw(h, x), (h, h_t)
+
+
+def _bwd(res, g):
+    h, h_t = res
+    dx = hybrid_spmm_raw(h_t, g)
+    zeros = lambda e: jax.tree.map(jnp.zeros_like, e)
+    return zeros(h), zeros(h_t), dx
+
+
+hybrid_spmm_pair.defvjp(_fwd, _bwd)

@@ -162,3 +162,57 @@ def test_split_ell_matches_plain():
     split = split_ell_spmm_raw(build_split_ell(m.tocsr(), n_hubs=64), x)
     np.testing.assert_allclose(np.asarray(plain), np.asarray(split), rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(plain), m.toarray() @ np.asarray(x), rtol=2e-4, atol=2e-4)
+
+
+def test_hybrid_matches_dense():
+    from pygcn_tpu.ops.hybrid import build_hybrid, hybrid_spmm_pair, hybrid_spmm_raw
+
+    rng = np.random.default_rng(0)
+    n = 400
+    # clustered graph: dense diagonal blocks + sparse background
+    blocks = []
+    for b in range(3):
+        r = rng.integers(b * 128, min((b + 1) * 128, n), 4000)
+        c = rng.integers(b * 128, min((b + 1) * 128, n), 4000)
+        blocks.append((r, c))
+    r_bg = rng.integers(0, n, 800)
+    c_bg = rng.integers(0, n, 800)
+    rows = np.concatenate([b[0] for b in blocks] + [r_bg])
+    cols = np.concatenate([b[1] for b in blocks] + [c_bg])
+    m = sp.coo_matrix((rng.uniform(0.1, 1.0, rows.size), (rows, cols)), shape=(n, n))
+    m.sum_duplicates()
+
+    h = build_hybrid(m, min_edges_per_tile=128)
+    assert h.bcsr is not None and h.tile_edges > m.nnz // 2  # blocks routed to MXU
+    x = jax.random.normal(jax.random.key(0), (n, 32))
+    out = hybrid_spmm_raw(h, x)
+    np.testing.assert_allclose(np.asarray(out), m.toarray() @ np.asarray(x),
+                               rtol=2e-4, atol=2e-4)
+
+    # symmetric pair VJP
+    a = sym_normalize(symmetrize_max(m))
+    hs = build_hybrid(a, min_edges_per_tile=128)
+    ct = jax.random.normal(jax.random.key(1), (n, 32))
+    _, vjp = jax.vjp(lambda v: hybrid_spmm_pair(hs, hs, v), x)
+    (dx,) = vjp(ct)
+    np.testing.assert_allclose(np.asarray(dx), a.toarray().T @ np.asarray(ct),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_hybrid_all_sparse_fallback():
+    from pygcn_tpu.ops.hybrid import build_hybrid, hybrid_spmm_raw
+
+    rng = np.random.default_rng(2)
+    n, e = 500, 800  # nothing reaches the tile threshold
+    m = sp.coo_matrix(
+        (rng.uniform(0.1, 1.0, e), (rng.integers(0, n, e), rng.integers(0, n, e))),
+        shape=(n, n),
+    )
+    m.sum_duplicates()
+    h = build_hybrid(m, min_edges_per_tile=128)
+    assert h.bcsr is None and h.tile_edges == 0
+    x = jax.random.normal(jax.random.key(2), (n, 16))
+    np.testing.assert_allclose(
+        np.asarray(hybrid_spmm_raw(h, x)), m.toarray() @ np.asarray(x),
+        rtol=2e-4, atol=2e-4,
+    )
