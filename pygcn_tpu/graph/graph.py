@@ -78,6 +78,8 @@ class Graph:
     bcsr_t: Optional[BCSR]  # BCSR of A^T (for the backward SpMM)
     ell: Optional[object]  # bucketed-ELL layout (ops/ell.py)
     ell_t: Optional[object]  # transpose ELL for the backward SpMM
+    hybrid: Optional[object]  # BCSR+ELL hybrid layout (ops/hybrid.py)
+    hybrid_t: Optional[object]  # transpose hybrid for the backward SpMM
     n_nodes: int
     n_edges: int  # true edge count, before padding
     is_symmetric: bool
@@ -97,6 +99,8 @@ class Graph:
         build_dense: Optional[bool] = None,
         build_bcsr: Optional[bool] = None,
         build_ell: Optional[bool] = None,
+        build_hybrid: bool = False,
+        hybrid_min_edges_per_tile: int = 128,
         ell_ks: tuple[int, ...] = (4, 8, 16, 32, 64, 128, 256),
         tile: tuple[int, int] = (128, 128),
         bcsr_budget_bytes: int = 2 * 1024**3,
@@ -159,6 +163,18 @@ class Graph:
             ell = _mk_ell(coo, ell_ks)
             ell_t = ell if is_symmetric else _mk_ell(coo.T.tocsr(), ell_ks)
 
+        # Hybrid routes dense tiles to the MXU (2x over ELL on clustered
+        # graphs, see PERF_NOTES.md); opt-in because tile memory scales with
+        # community density.
+        hybrid = hybrid_t = None
+        if build_hybrid:
+            from pygcn_tpu.ops.hybrid import build_hybrid as _mk_hybrid
+
+            hybrid = _mk_hybrid(coo, tile, hybrid_min_edges_per_tile, ell_ks)
+            hybrid_t = hybrid if is_symmetric else _mk_hybrid(
+                coo.T.tocoo(), tile, hybrid_min_edges_per_tile, ell_ks
+            )
+
         return Graph(
             senders=jnp.asarray(senders, jnp.int32),
             receivers=jnp.asarray(receivers, jnp.int32),
@@ -168,6 +184,8 @@ class Graph:
             bcsr_t=bcsr_t,
             ell=ell,
             ell_t=ell_t,
+            hybrid=hybrid,
+            hybrid_t=hybrid_t,
             n_nodes=int(n_nodes),
             n_edges=n_edges,
             is_symmetric=bool(is_symmetric),
@@ -197,6 +215,7 @@ class Graph:
             build_dense=self.dense is not None,
             build_bcsr=self.bcsr is not None,
             build_ell=self.ell is not None,
+            build_hybrid=self.hybrid is not None,
         )
 
     def to_scipy(self) -> sp.coo_matrix:
@@ -216,7 +235,7 @@ class Graph:
 
 jax.tree_util.register_dataclass(
     Graph,
-    data_fields=["senders", "receivers", "weights", "dense", "bcsr", "bcsr_t", "ell", "ell_t"],
+    data_fields=["senders", "receivers", "weights", "dense", "bcsr", "bcsr_t", "ell", "ell_t", "hybrid", "hybrid_t"],
     meta_fields=["n_nodes", "n_edges", "is_symmetric"],
 )
 

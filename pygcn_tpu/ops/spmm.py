@@ -32,6 +32,8 @@ def _resolve_impl(graph: Graph, impl: str) -> str:
         return impl
     if graph.dense is not None:
         return "dense"
+    if graph.hybrid is not None and graph.hybrid_t is not None:
+        return "hybrid"
     if graph.ell is not None and graph.ell_t is not None:
         return "ell"
     if graph.bcsr is not None and (graph.is_symmetric or graph.bcsr_t is not None):
@@ -57,6 +59,12 @@ def spmm(graph: Graph, x: jax.Array, impl: str = "auto") -> jax.Array:
         from pygcn_tpu.ops.ell import ell_spmm_pair
 
         out = ell_spmm_pair(graph.ell, graph.ell_t or graph.ell, x)
+    elif impl == "hybrid":
+        if graph.hybrid is None:
+            raise ValueError("graph has no hybrid layout; build with build_hybrid=True")
+        from pygcn_tpu.ops.hybrid import hybrid_spmm_pair
+
+        out = hybrid_spmm_pair(graph.hybrid, graph.hybrid_t or graph.hybrid, x)
     elif impl == "bcsr":
         if graph.bcsr is None:
             raise ValueError("graph has no BCSR layout; build with build_bcsr=True")
@@ -87,6 +95,10 @@ def spmm_t(graph: Graph, x: jax.Array, impl: str = "auto") -> jax.Array:
         from pygcn_tpu.ops.ell import ell_spmm_pair
 
         out = ell_spmm_pair(graph.ell_t or graph.ell, graph.ell, x)
+    elif impl == "hybrid":
+        from pygcn_tpu.ops.hybrid import hybrid_spmm_pair
+
+        out = hybrid_spmm_pair(graph.hybrid_t or graph.hybrid, graph.hybrid, x)
     elif impl == "bcsr":
         if graph.bcsr_t is None:
             raise ValueError("graph has no transpose BCSR layout")

@@ -19,17 +19,17 @@ def random_graph(n=260, e=2500, seed=0, **kwargs):
     return Graph.from_scipy(m.tocoo(), **kwargs), m.toarray()
 
 
-@pytest.mark.parametrize("impl", ["segment", "dense", "bcsr", "ell"])
+@pytest.mark.parametrize("impl", ["segment", "dense", "bcsr", "ell", "hybrid"])
 def test_spmm_matches_dense(impl):
-    g, a = random_graph(build_dense=True, build_bcsr=True, build_ell=True)
+    g, a = random_graph(build_dense=True, build_bcsr=True, build_ell=True, build_hybrid=True, hybrid_min_edges_per_tile=32)
     x = jax.random.normal(jax.random.key(0), (g.n_nodes, 64))
     out = spmm(g, x, impl=impl)
     np.testing.assert_allclose(np.asarray(out), a @ np.asarray(x), rtol=2e-4, atol=2e-4)
 
 
-@pytest.mark.parametrize("impl", ["segment", "dense", "bcsr", "ell"])
+@pytest.mark.parametrize("impl", ["segment", "dense", "bcsr", "ell", "hybrid"])
 def test_spmm_t_matches_dense(impl):
-    g, a = random_graph(build_dense=True, build_bcsr=True, build_ell=True)
+    g, a = random_graph(build_dense=True, build_bcsr=True, build_ell=True, build_hybrid=True, hybrid_min_edges_per_tile=32)
     x = jax.random.normal(jax.random.key(1), (g.n_nodes, 32))
     out = spmm_t(g, x, impl=impl)
     np.testing.assert_allclose(np.asarray(out), a.T @ np.asarray(x), rtol=2e-4, atol=2e-4)
@@ -53,10 +53,10 @@ def test_spmm_nonsquare_feature_dims():
         )
 
 
-@pytest.mark.parametrize("impl", ["segment", "dense", "bcsr", "ell"])
+@pytest.mark.parametrize("impl", ["segment", "dense", "bcsr", "ell", "hybrid"])
 def test_spmm_grad_is_transpose(impl):
     """VJP of spmm w.r.t. x must be A^T @ g."""
-    g, a = random_graph(build_dense=True, build_bcsr=True, build_ell=True)
+    g, a = random_graph(build_dense=True, build_bcsr=True, build_ell=True, build_hybrid=True, hybrid_min_edges_per_tile=32)
     x = jax.random.normal(jax.random.key(3), (g.n_nodes, 16))
     ct = jax.random.normal(jax.random.key(4), (g.n_nodes, 16))
 
@@ -131,6 +131,8 @@ def test_sddmm_is_spmm_weight_grad():
             bcsr_t=None,
             ell=None,
             ell_t=None,
+            hybrid=None,
+            hybrid_t=None,
             n_nodes=g.n_nodes,
             n_edges=g.n_edges,
             is_symmetric=False,
