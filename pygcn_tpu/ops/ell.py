@@ -222,3 +222,42 @@ def split_ell_spmm_raw(sell: SplitELL, x: jax.Array) -> jax.Array:
     p = jnp.concatenate(partials, axis=0)
     r = jnp.concatenate(vrows, axis=0)
     return jax.ops.segment_sum(p, r, num_segments=sell.n_rows)
+
+
+def build_ell_stacked(mats, ks: Tuple[int, ...] = (4, 8, 16, 32, 64, 128, 256)):
+    """Build shard-uniform stacked ELL layouts for a list of equally-shaped
+    sparse matrices (one per device shard): per bucket, ``cols/vals`` become
+    ``[P, Nb_max, K]`` and ``rows`` ``[P, Nb_max]`` with per-shard padding to
+    the max block count, so the arrays shard cleanly over a mesh axis.
+    """
+    built = [build_ell(m, ks) for m in mats]
+    n_rows = built[0].n_rows
+    cols_out, vals_out, rows_out = [], [], []
+    for j, k in enumerate(ks):
+        nb_max = max(e.cols[j].shape[0] for e in built)
+        cols = np.zeros((len(mats), nb_max, k), np.int32)
+        vals = np.zeros((len(mats), nb_max, k), np.float32)
+        rows = np.zeros((len(mats), nb_max), np.int32)
+        for p, e in enumerate(built):
+            nb = e.cols[j].shape[0]
+            cols[p, :nb] = np.asarray(e.cols[j])
+            vals[p, :nb] = np.asarray(e.vals[j])
+            rows[p, :nb] = np.asarray(e.rows[j])
+        cols_out.append(jnp.asarray(cols))
+        vals_out.append(jnp.asarray(vals))
+        rows_out.append(jnp.asarray(rows))
+    return tuple(cols_out), tuple(vals_out), tuple(rows_out), n_rows
+
+
+def ell_apply_arrays(cols, vals, rows, n_rows: int, x: jax.Array) -> jax.Array:
+    """Run the ELL gather+reduce+combine given raw per-bucket arrays (the
+    shard-local compute inside ``shard_map``; see ``parallel/dist_spmm.py``)."""
+    partials, vrows = [], []
+    for c, v, r in zip(cols, vals, rows):
+        nb, k = c.shape
+        g = jnp.take(x, c.reshape(-1), axis=0).reshape(nb, k, x.shape[1])
+        partials.append((g * v[..., None]).sum(axis=1))
+        vrows.append(r)
+    p = jnp.concatenate(partials, axis=0)
+    r = jnp.concatenate(vrows, axis=0)
+    return jax.ops.segment_sum(p, r, num_segments=n_rows)

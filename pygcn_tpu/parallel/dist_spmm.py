@@ -28,11 +28,11 @@ from pygcn_tpu.parallel.partition import DistPlan
 def make_dist_spmm(mesh: Mesh, plan: DistPlan, axis: str = "graph"):
     """Build the shard_mapped SpMM. ``x``: [P·S, F] sharded P(axis) → same."""
 
-    def local_fn(x, loc_s, loc_r, loc_w, rem_h, rem_r, rem_w, send_idx):
+    use_ell = plan.loc_ell is not None and plan.rem_ell is not None
+
+    def local_fn(x, loc_edges, rem_edges, send_idx):
         # shard_map delivers the per-device slices with the leading shard axis
         # collapsed to size 1.
-        loc_s, loc_r, loc_w = loc_s[0], loc_r[0], loc_w[0]
-        rem_h, rem_r, rem_w = rem_h[0], rem_r[0], rem_w[0]
         send_idx = send_idx[0]  # [P, halo]
 
         outgoing = jnp.take(x, send_idx.reshape(-1), axis=0).reshape(
@@ -43,37 +43,59 @@ def make_dist_spmm(mesh: Mesh, plan: DistPlan, axis: str = "graph"):
         )  # [P, halo, F]: slice o = rows shard o sent to us
         halo_flat = halo_in.reshape(-1, x.shape[1])
 
-        y_local = jax.ops.segment_sum(
-            jnp.take(x, loc_s, axis=0) * loc_w[:, None],
-            loc_r,
-            num_segments=plan.shard_size,
-        )
-        y_remote = jax.ops.segment_sum(
-            jnp.take(halo_flat, rem_h, axis=0) * rem_w[:, None],
-            rem_r,
-            num_segments=plan.shard_size,
-        )
+        if use_ell:
+            from pygcn_tpu.ops.ell import ell_apply_arrays
+
+            (lc, lv, lr) = loc_edges
+            (rc, rv, rr) = rem_edges
+            y_local = ell_apply_arrays(
+                tuple(c[0] for c in lc), tuple(v[0] for v in lv),
+                tuple(r[0] for r in lr), plan.shard_size, x,
+            )
+            y_remote = ell_apply_arrays(
+                tuple(c[0] for c in rc), tuple(v[0] for v in rv),
+                tuple(r[0] for r in rr), plan.shard_size, halo_flat,
+            )
+        else:
+            loc_s, loc_r, loc_w = (e[0] for e in loc_edges)
+            rem_h, rem_r, rem_w = (e[0] for e in rem_edges)
+            y_local = jax.ops.segment_sum(
+                jnp.take(x, loc_s, axis=0) * loc_w[:, None],
+                loc_r,
+                num_segments=plan.shard_size,
+            )
+            y_remote = jax.ops.segment_sum(
+                jnp.take(halo_flat, rem_h, axis=0) * rem_w[:, None],
+                rem_r,
+                num_segments=plan.shard_size,
+            )
         return y_local + y_remote
+
+    if use_ell:
+        loc_edges = plan.loc_ell
+        rem_edges = plan.rem_ell
+        edge_spec = jax.tree.map(lambda _: P(axis, None, None), loc_edges)
+        rem_spec = jax.tree.map(lambda _: P(axis, None, None), rem_edges)
+        # rows arrays are 2-D [P, Nb]
+        edge_spec = (edge_spec[0], edge_spec[1],
+                     tuple(P(axis, None) for _ in loc_edges[2]))
+        rem_spec = (rem_spec[0], rem_spec[1],
+                    tuple(P(axis, None) for _ in rem_edges[2]))
+    else:
+        loc_edges = (plan.loc_s, plan.loc_r, plan.loc_w)
+        rem_edges = (plan.rem_h, plan.rem_r, plan.rem_w)
+        edge_spec = (P(axis, None), P(axis, None), P(axis, None))
+        rem_spec = edge_spec
 
     sharded = shard_map(
         local_fn,
         mesh=mesh,
-        in_specs=(
-            P(axis, None),  # x
-            P(axis, None), P(axis, None), P(axis, None),  # local edges
-            P(axis, None), P(axis, None), P(axis, None),  # remote edges
-            P(axis, None, None),  # send_idx
-        ),
+        in_specs=(P(axis, None), edge_spec, rem_spec, P(axis, None, None)),
         out_specs=P(axis, None),
     )
 
     def f(x: jax.Array) -> jax.Array:
-        return sharded(
-            x,
-            plan.loc_s, plan.loc_r, plan.loc_w,
-            plan.rem_h, plan.rem_r, plan.rem_w,
-            plan.send_idx,
-        )
+        return sharded(x, loc_edges, rem_edges, plan.send_idx)
 
     return f
 

@@ -49,6 +49,9 @@ class DistPlan:
     rem_w: jax.Array  # [P, E_rem]
     # send_idx[o, i, k]: k-th local row shard o ships to shard i
     send_idx: jax.Array  # [P, P, halo]
+    # optional stacked per-shard ELL layouts for scatter-free local compute
+    loc_ell: object  # (cols, vals, rows) tuples of [P, Nb, K] arrays, or None
+    rem_ell: object
     n_shards: int
     shard_size: int  # nodes per shard (padded)
     halo: int  # halo slots per (src, dst) pair
@@ -61,12 +64,14 @@ class DistPlan:
 
 jax.tree_util.register_dataclass(
     DistPlan,
-    data_fields=["loc_s", "loc_r", "loc_w", "rem_h", "rem_r", "rem_w", "send_idx"],
+    data_fields=["loc_s", "loc_r", "loc_w", "rem_h", "rem_r", "rem_w", "send_idx",
+                 "loc_ell", "rem_ell"],
     meta_fields=["n_shards", "shard_size", "halo", "n_nodes"],
 )
 
 
-def build_dist_plan(graph: Graph, n_shards: int, *, align: int = 8) -> DistPlan:
+def build_dist_plan(graph: Graph, n_shards: int, *, align: int = 8,
+                    build_ell: bool = True) -> DistPlan:
     e = graph.n_edges
     senders = np.asarray(graph.senders[:e], np.int64)
     receivers = np.asarray(graph.receivers[:e], np.int64)
@@ -134,6 +139,35 @@ def build_dist_plan(graph: Graph, n_shards: int, *, align: int = 8) -> DistPlan:
         loc_r_arr[i, : loc_r[i].size] = loc_r[i]
         loc_w_arr[i, : loc_w[i].size] = loc_w[i]
 
+    # Stacked per-shard ELL layouts: the shard-local aggregation then runs
+    # the scatter-free gather+reduce path instead of per-edge segment_sum
+    # (the same ~2.6x that ELL buys single-chip; see PERF_NOTES.md).
+    loc_ell = rem_ell = None
+    if build_ell:
+        import scipy.sparse as _sp
+
+        from pygcn_tpu.ops.ell import build_ell_stacked
+
+        loc_mats, rem_mats = [], []
+        for i in range(n_shards):
+            ns = loc_s_arr[i].astype(np.int64)
+            nr = loc_r_arr[i].astype(np.int64)
+            nw = loc_w_arr[i]
+            keep = nw != 0
+            loc_mats.append(_sp.csr_matrix(
+                (nw[keep], (nr[keep], ns[keep])), shape=(shard_size, shard_size)))
+            hs = rem_h_arr[i].astype(np.int64)
+            hr = rem_r_arr[i].astype(np.int64)
+            hw = rem_w_arr[i]
+            keep = hw != 0
+            rem_mats.append(_sp.csr_matrix(
+                (hw[keep], (hr[keep], hs[keep])),
+                shape=(shard_size, n_shards * halo)))
+        lc, lv, lr, _ = build_ell_stacked(loc_mats)
+        rc, rv, rr, _ = build_ell_stacked(rem_mats)
+        loc_ell = (lc, lv, lr)
+        rem_ell = (rc, rv, rr)
+
     return DistPlan(
         loc_s=jnp.asarray(loc_s_arr),
         loc_r=jnp.asarray(loc_r_arr),
@@ -142,6 +176,8 @@ def build_dist_plan(graph: Graph, n_shards: int, *, align: int = 8) -> DistPlan:
         rem_r=jnp.asarray(rem_r_arr),
         rem_w=jnp.asarray(rem_w_arr),
         send_idx=jnp.asarray(send_idx),
+        loc_ell=loc_ell,
+        rem_ell=rem_ell,
         n_shards=n_shards,
         shard_size=shard_size,
         halo=halo,
