@@ -164,9 +164,24 @@ def main(argv=None):
     stopper = EarlyStopping(patience=args.patience)
     graph = world.graph
 
+    # all samples stay device-resident; jitted steps receive INDICES, so no
+    # per-step host->device batch transfer (through the remote tunnel that
+    # transfer dominated the step time at reference scale)
+    feats_dev = jnp.asarray(feats)
+    y_dev = jnp.asarray(y)
+
     def loss_fn(params, bx, by):
         pred = model.apply(params, bx, graph)[:, 0]
         return jnp.mean((pred - by) ** 2)
+
+    @jax.jit
+    def train_step_idx(params, opt_state, feats_all, y_all, idx):
+        bx = jnp.take(feats_all, idx, axis=0)
+        by = jnp.take(y_all, idx, axis=0)
+        loss, grads = jax.value_and_grad(loss_fn)(params, bx, by)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
 
     @jax.jit
     def train_step(params, opt_state, bx, by):
@@ -229,13 +244,30 @@ def main(argv=None):
 
     logger = MetricsLogger(os.path.join(args.out_dir, "metrics.jsonl"))
     min_val_loss, max_val_corr = np.inf, -np.inf
+    idx_order = np.asarray(res.idx_train)
+    loader_rng = np.random.default_rng(args.seed)
+    n_batches = max(1, len(idx_order) // args.batch_size)
     for epoch in range(start_epoch, start_epoch + args.epochs):
         train_losses = []
-        for bx, by in train_loader:
-            params, opt_state, loss = train_step(
-                params, opt_state, shard_batch(jnp.asarray(bx)), shard_batch(jnp.asarray(by))
-            )
-            train_losses.append(float(loss))
+        if args.data_parallel or args.quicktest:
+            # keep the loader path for sharded/shrunken batches
+            for bx, by in train_loader:
+                params, opt_state, loss = train_step(
+                    params, opt_state, shard_batch(jnp.asarray(bx)), shard_batch(jnp.asarray(by))
+                )
+                train_losses.append(float(loss))
+        else:
+            loader_rng.shuffle(idx_order)
+            losses_dev = []
+            for b in range(n_batches):
+                idx = jnp.asarray(idx_order[b * args.batch_size : (b + 1) * args.batch_size])
+                if idx.shape[0] < args.batch_size:
+                    continue
+                params, opt_state, loss = train_step_idx(
+                    params, opt_state, feats_dev, y_dev, idx
+                )
+                losses_dev.append(loss)
+            train_losses = [float(l) for l in losses_dev]  # one sync per epoch
         val_loss, val_corr = evaluate(val_loader)
         logger.log(epoch, train_loss=np.mean(train_losses), val_loss=val_loss,
                    val_spearman=val_corr)
