@@ -101,6 +101,7 @@ class Graph:
         build_ell: Optional[bool] = None,
         build_hybrid: bool = False,
         hybrid_min_edges_per_tile: int = 128,
+        hybrid_tile_budget_bytes: Optional[int] = 512 * 1024**2,
         ell_ks: tuple[int, ...] = (4, 8, 16, 32, 64, 128, 256),
         tile: tuple[int, int] = (128, 128),
         bcsr_budget_bytes: int = 2 * 1024**3,
@@ -170,9 +171,13 @@ class Graph:
         if build_hybrid:
             from pygcn_tpu.ops.hybrid import build_hybrid as _mk_hybrid
 
-            hybrid = _mk_hybrid(coo, tile, hybrid_min_edges_per_tile, ell_ks)
+            hybrid = _mk_hybrid(
+                coo, tile, hybrid_min_edges_per_tile, ell_ks,
+                tile_budget_bytes=hybrid_tile_budget_bytes,
+            )
             hybrid_t = hybrid if is_symmetric else _mk_hybrid(
-                coo.T.tocoo(), tile, hybrid_min_edges_per_tile, ell_ks
+                coo.T.tocoo(), tile, hybrid_min_edges_per_tile, ell_ks,
+                tile_budget_bytes=hybrid_tile_budget_bytes,
             )
 
         return Graph(

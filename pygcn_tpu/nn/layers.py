@@ -25,10 +25,11 @@ def batch_standardize(x: jax.Array, eps: float = 1e-5) -> jax.Array:
     ``nn.BatchNorm1d`` on every forward call (reference ``pygcn/models.py:41-45``):
     affine params are freshly initialised (γ=1, β=0) and never trained, and no
     running stats survive — mathematically the layer is exactly train-mode
-    standardization over the batch/node axis.
+    standardization over the batch/node axis. Normalizes over ``axis=-2``
+    (the node axis) so it applies unchanged to batched ``[B, N, H]`` inputs.
     """
-    mean = x.mean(axis=0, keepdims=True)
-    var = x.var(axis=0, keepdims=True)
+    mean = x.mean(axis=-2, keepdims=True)
+    var = x.var(axis=-2, keepdims=True)
     return (x - mean) * jax.lax.rsqrt(var + eps)
 
 

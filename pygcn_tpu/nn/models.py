@@ -146,15 +146,18 @@ class GCNOverMLP(Module):
         return {name: m.init(keys[name]) for name, m in ch.items()}
 
     def apply(self, params, x, graph: Graph) -> jax.Array:
-        """``x``: [B, N, F] (batch of policy samples) → [B, linear_nout]."""
+        """``x``: [B, N, F] (batch of policy samples) → [B, linear_nout].
+
+        The whole batch runs through the GCN at once: every SpMM folds the
+        batch into one wide ``[N, B*H]`` product (see ``ops.spmm``), and
+        ``batch_standardize`` normalizes over the node axis per sample — a
+        single fused step replacing the reference's per-sample loop
+        (``pygcn/models.py:343-349``).
+        """
         ch = self._children()
-
-        def per_sample(xi):
-            g = ch["gcn"](params["gcn"], xi[:, : self.dim_touched], graph)
-            h = jnp.concatenate([g, xi[:, self.dim_touched :]], axis=1)
-            return masked_mean_pool(h)
-
-        pooled = jax.vmap(per_sample)(x)  # [B, gcn_nclass + untouched - 1]
+        g = ch["gcn"](params["gcn"], x[:, :, : self.dim_touched], graph)
+        h = jnp.concatenate([g, x[:, :, self.dim_touched :]], axis=2)
+        pooled = jax.vmap(masked_mean_pool)(h)  # [B, gcn_nclass + untouched - 1]
         return ch["mlp"](params["mlp"], pooled)
 
 

@@ -44,7 +44,15 @@ def build_hybrid(
     tile: Tuple[int, int] = (128, 128),
     min_edges_per_tile: int = 128,
     ks: Tuple[int, ...] = (4, 8, 16, 32, 64, 128, 256),
+    tile_budget_bytes: Optional[int] = None,
 ) -> HybridLayout:
+    """Route tiles with ≥ ``min_edges_per_tile`` edges to BCSR, rest to ELL.
+
+    ``tile_budget_bytes`` caps the dense-tile memory (each tile stores
+    ``tm*tk`` f32 values): when qualifying tiles exceed the budget, the
+    densest tiles are kept (best edges-per-byte first) and the rest spill
+    to the ELL side.
+    """
     coo = mat.tocoo()
     n = coo.shape[0]
     tm, tk = tile
@@ -52,7 +60,17 @@ def build_hybrid(
 
     tile_ids = (coo.row // tm).astype(np.int64) * n_block_cols + coo.col // tk
     uniq, inverse, counts = np.unique(tile_ids, return_inverse=True, return_counts=True)
-    dense_tile = counts[inverse] >= min_edges_per_tile
+    qualifies = counts >= min_edges_per_tile
+    if tile_budget_bytes is not None:
+        tile_bytes = tm * tk * 4
+        max_tiles = max(0, tile_budget_bytes // tile_bytes)
+        if int(qualifies.sum()) > max_tiles:
+            order = np.argsort(-counts)  # densest first
+            keep = np.zeros_like(qualifies)
+            kept = order[qualifies[order]][:max_tiles]
+            keep[kept] = True
+            qualifies = keep
+    dense_tile = qualifies[inverse]
 
     tile_edges = int(dense_tile.sum())
     bcsr = None

@@ -42,7 +42,20 @@ def _resolve_impl(graph: Graph, impl: str) -> str:
 
 
 def spmm(graph: Graph, x: jax.Array, impl: str = "auto") -> jax.Array:
-    """``A @ x`` for ``x`` of shape ``[n_nodes, H]`` (or ``[n_nodes]``)."""
+    """``A @ x`` for ``x`` of shape ``[n_nodes, H]``, ``[n_nodes]``, or a
+    batch ``[B, n_nodes, H]``.
+
+    Batched inputs are folded into a single wide ``[n_nodes, B*H]`` product:
+    one big MXU GEMM on the dense path, and amortized per-row gathers on the
+    ELL/segment paths (gather cost is per-row and flat up to 512 B/row — see
+    PERF_NOTES.md). This replaces the reference's per-sample Python loop at
+    ``pygcn/models.py:343-349`` with a single fused product.
+    """
+    if x.ndim == 3:
+        b, n, h = x.shape
+        wide = jnp.moveaxis(x, 0, 1).reshape(n, b * h)
+        out = spmm(graph, wide, impl)
+        return jnp.moveaxis(out.reshape(n, b, h), 1, 0)
     impl = _resolve_impl(graph, impl)
     squeeze = x.ndim == 1
     if squeeze:
@@ -80,6 +93,11 @@ def spmm_t(graph: Graph, x: jax.Array, impl: str = "auto") -> jax.Array:
     """``A^T @ x`` — the transpose product (backward direction)."""
     if graph.is_symmetric:
         return spmm(graph, x, impl)
+    if x.ndim == 3:
+        b, n, h = x.shape
+        wide = jnp.moveaxis(x, 0, 1).reshape(n, b * h)
+        out = spmm_t(graph, wide, impl)
+        return jnp.moveaxis(out.reshape(n, b, h), 1, 0)
     impl = _resolve_impl(graph, impl)
     squeeze = x.ndim == 1
     if squeeze:

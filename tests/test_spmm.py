@@ -218,3 +218,66 @@ def test_hybrid_all_sparse_fallback():
         np.asarray(hybrid_spmm_raw(h, x)), m.toarray() @ np.asarray(x),
         rtol=2e-4, atol=2e-4,
     )
+
+
+@pytest.mark.parametrize("impl", ["segment", "dense", "bcsr", "ell", "hybrid"])
+def test_spmm_batched_3d(impl):
+    """[B, N, H] inputs fold into one wide [N, B*H] product per layout."""
+    g, a = random_graph(build_dense=True, build_bcsr=True, build_ell=True, build_hybrid=True, hybrid_min_edges_per_tile=32)
+    x = jax.random.normal(jax.random.key(4), (5, g.n_nodes, 24))
+    out = spmm(g, x, impl=impl)
+    assert out.shape == x.shape
+    want = np.stack([a @ np.asarray(xi) for xi in x])
+    np.testing.assert_allclose(np.asarray(out), want, rtol=2e-4, atol=2e-4)
+    out_t = spmm_t(g, x, impl=impl)
+    want_t = np.stack([a.T @ np.asarray(xi) for xi in x])
+    np.testing.assert_allclose(np.asarray(out_t), want_t, rtol=2e-4, atol=2e-4)
+
+
+def test_spmm_batched_grad_matches_per_sample():
+    g, _ = random_graph(build_ell=True)
+    x = jax.random.normal(jax.random.key(5), (3, g.n_nodes, 8))
+
+    def loss_batched(x):
+        return (spmm(g, x, impl="ell") ** 2).sum()
+
+    def loss_loop(x):
+        return sum((spmm(g, xi, impl="ell") ** 2).sum() for xi in x)
+
+    gb = jax.grad(loss_batched)(x)
+    gl = jax.grad(loss_loop)(x)
+    np.testing.assert_allclose(np.asarray(gb), np.asarray(gl), rtol=1e-4, atol=1e-4)
+
+
+def test_hybrid_tile_budget():
+    """tile_budget_bytes keeps only the densest tiles; result is unchanged."""
+    from pygcn_tpu.ops.hybrid import build_hybrid, hybrid_spmm_raw
+
+    rng = np.random.default_rng(7)
+    n = 512
+    # two dense 128x128 blocks with different fills + sparse background
+    rows, cols = [], []
+    for base, fill in ((0, 3000), (128, 600)):
+        rows.append(rng.integers(base, base + 128, fill))
+        cols.append(rng.integers(base, base + 128, fill))
+    rows.append(rng.integers(0, n, 800))
+    cols.append(rng.integers(0, n, 800))
+    r, c = np.concatenate(rows), np.concatenate(cols)
+    m = sp.coo_matrix((rng.uniform(0.1, 1, r.size), (r, c)), shape=(n, n))
+    m.sum_duplicates()
+
+    full = build_hybrid(m, min_edges_per_tile=64)
+    capped = build_hybrid(m, min_edges_per_tile=64, tile_budget_bytes=128 * 128 * 4)
+    assert capped.bcsr is not None
+    assert capped.tile_edges < full.tile_edges  # only the densest tile kept
+    x = jax.random.normal(jax.random.key(0), (n, 16))
+    np.testing.assert_allclose(
+        np.asarray(hybrid_spmm_raw(capped, x)), m.toarray() @ np.asarray(x),
+        rtol=2e-4, atol=2e-4,
+    )
+    zero = build_hybrid(m, min_edges_per_tile=64, tile_budget_bytes=0)
+    assert zero.bcsr is None  # all edges spill to ELL
+    np.testing.assert_allclose(
+        np.asarray(hybrid_spmm_raw(zero, x)), m.toarray() @ np.asarray(x),
+        rtol=2e-4, atol=2e-4,
+    )
