@@ -141,3 +141,36 @@ def test_chung_lu_generator():
     assert g.nnz > 4000
     degs = np.asarray(np.abs(g).sum(axis=1)).ravel()
     assert degs.max() > 10 * max(degs.mean(), 1)  # heavy tail
+
+
+def test_expand_grid_and_run_sweep():
+    from pygcn_tpu.train.sweep import expand_grid, run_sweep
+    from pygcn_tpu.utils.config import Config
+
+    cfg = Config(lr=[0.1, 0.01], hidden=[8, 16], fixed=3)
+    assert cfg.has_list()
+    grid = expand_grid(cfg)
+    assert len(grid) == 4
+    assert all(not c.has_list() for c in grid)
+    assert {(c.lr, c.hidden) for c in grid} == {(0.1, 8), (0.1, 16), (0.01, 8), (0.01, 16)}
+    assert all(c.fixed == 3 for c in grid)
+
+    def trial(c):
+        if c.lr == 0.1 and c.hidden == 16:
+            raise RuntimeError("diverged")
+        return {"score": c.lr * c.hidden}
+
+    res = run_sweep(trial, cfg, metric="score", mode="max")
+    assert len(res.records) == 4
+    assert sum("error" in r for r in res.records) == 1
+    assert res.best["params"] == {"lr": 0.1, "hidden": 8}
+    assert res.best["metrics"]["score"] == 0.8  # 0.1*8 highest among survivors
+    lo = run_sweep(trial, cfg, metric="score", mode="min")
+    assert lo.best["metrics"]["score"] == 0.08
+
+
+def test_expand_grid_no_lists_single_point():
+    from pygcn_tpu.train.sweep import expand_grid
+    from pygcn_tpu.utils.config import Config
+
+    assert len(expand_grid(Config(lr=0.1))) == 1
