@@ -19,7 +19,7 @@ from pygcn_tpu.graph.covisit import average_visits, covisitation_adj
 from pygcn_tpu.graph.graph import Graph
 from pygcn_tpu.graph.transform import sym_normalize
 from pygcn_tpu.sim import EpidemicParams, VisitSeq, calibration
-from pygcn_tpu.sim.model import simulate
+from pygcn_tpu.sim.model import HostVisitSeq, simulate, simulate_paged
 
 
 def _spectral_norm(a: np.ndarray, iters: int = 30, seed: int = 0) -> float:
@@ -41,6 +41,7 @@ class World:
     demographics: np.ndarray  # [N, 4] sizes/elder/income/ew (raw)
     embeddings: np.ndarray  # [N, E]
     visits: VisitSeq
+    visits_host: HostVisitSeq  # host copy; enables paged streaming at scale
     adj: np.ndarray  # dense co-visitation adjacency
     graph: Graph
     params: EpidemicParams
@@ -86,7 +87,8 @@ def build_synthetic_world(
         v = rng.uniform(0, 3.0, (hours, n_home)) * rate[c]
         v[v < 1.2 * rate[c]] = 0.0
         visits_dense[:, home_pois[c], c] = v
-    visits = VisitSeq.from_dense(visits_dense)
+    visits_host = HostVisitSeq.from_dense(visits_dense)
+    visits = visits_host.to_device()
 
     avg = average_visits(list(visits_dense))
     adj = covisitation_adj(avg)
@@ -126,8 +128,8 @@ def build_synthetic_world(
     )
     return World(
         n_cbgs=n_cbgs, n_pois=n_pois, sizes=sizes, demographics=demographics,
-        embeddings=embeddings, visits=visits, adj=adj, graph=graph, params=params,
-        vaccine_acceptance=acceptance,
+        embeddings=embeddings, visits=visits, visits_host=visits_host, adj=adj,
+        graph=graph, params=params, vaccine_acceptance=acceptance,
     )
 
 
@@ -137,9 +139,14 @@ def run_policy_simulation(
     num_seeds: int,
     key,
     vaccination_time: Optional[int] = None,
+    page_hours: Optional[int] = None,
 ):
     """One simulator run for a concrete vaccination vector (the apps' analog
-    of the reference's ``run_simulation`` glue, ``policy-generator.py:177-208``)."""
+    of the reference's ``run_simulation`` glue, ``policy-generator.py:177-208``).
+
+    ``page_hours`` switches to host->device streamed visits
+    (:func:`pygcn_tpu.sim.simulate_paged`) for horizons whose visit buffers
+    exceed device memory; results are bit-identical."""
     import jax
     import jax.numpy as jnp
 
@@ -152,6 +159,10 @@ def run_policy_simulation(
     if vaccination_time is not None:
         fields["vaccination_time"] = vaccination_time
     params = EpidemicParams(**fields)
+    if page_hours:
+        return simulate_paged(
+            params, world.visits_host, num_seeds, key, page_hours=page_hours
+        )
     return simulate(params, world.visits, num_seeds, key)
 
 

@@ -30,6 +30,10 @@ def main(argv=None):
     ap.add_argument("--n_pois", type=int, default=20)
     ap.add_argument("--hours", type=int, default=96)
     ap.add_argument("--quick_test", action="store_true")
+    ap.add_argument("--page_hours", type=int, default=0,
+                    help="stream visit pages host->device (for horizons whose "
+                         "visit buffers exceed HBM); must divide --hours and be "
+                         "a multiple of 24. 0 = whole horizon device-resident")
     ap.add_argument("--out_dir", required=True)
     args = ap.parse_args(argv)
 
@@ -47,7 +51,8 @@ def main(argv=None):
         msa_name=args.msa_name, seed=args.seed,
     )
     out = run_policy_simulation(
-        world, np.zeros(world.n_cbgs), args.num_seeds, jax.random.key(args.seed)
+        world, np.zeros(world.n_cbgs), args.num_seeds, jax.random.key(args.seed),
+        page_hours=args.page_hours or None,
     )
     # [D, N] seed-averaged daily cumulative counts
     cases = np.asarray(out["history_C2"]).mean(axis=1)

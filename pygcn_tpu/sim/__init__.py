@@ -1,3 +1,11 @@
-from pygcn_tpu.sim.model import EpidemicParams, VisitSeq, simulate
+from pygcn_tpu.sim.model import (
+    EpidemicParams,
+    HostVisitSeq,
+    VisitSeq,
+    simulate,
+    simulate_paged,
+)
 
-__all__ = ["EpidemicParams", "VisitSeq", "simulate"]
+__all__ = [
+    "EpidemicParams", "HostVisitSeq", "VisitSeq", "simulate", "simulate_paged",
+]

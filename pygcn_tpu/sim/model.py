@@ -27,6 +27,7 @@ confirmations — once ``max(L+I) < 1`` across seeds) are all reproduced.
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -52,42 +53,53 @@ class VisitSeq:
     @staticmethod
     def from_dense(mats: np.ndarray) -> "VisitSeq":
         """``mats``: [T, M, N] dense hourly visit matrices."""
-        mats = np.asarray(mats)
-        t, m, n = mats.shape
-        coos = [np.nonzero(mats[i]) for i in range(t)]
-        e_max = max(max((len(c[0]) for c in coos), default=1), 1)
-        e_max = -(-e_max // 8) * 8
-        poi = np.zeros((t, e_max), np.int32)
-        cbg = np.zeros((t, e_max), np.int32)
-        w = np.zeros((t, e_max), np.float32)
-        for i, (pi, ci) in enumerate(coos):
-            poi[i, : pi.size] = pi
-            cbg[i, : ci.size] = ci
-            w[i, : ci.size] = mats[i][pi, ci]
+        poi, cbg, w, m, n = _pack_dense(np.asarray(mats))
         return VisitSeq(
             poi_idx=jnp.asarray(poi), cbg_idx=jnp.asarray(cbg), w=jnp.asarray(w),
-            n_pois=m, n_cbgs=n, period=t,
+            n_pois=m, n_cbgs=n, period=poi.shape[0],
         )
 
     @staticmethod
     def from_scipy(mats) -> "VisitSeq":
         """``mats``: list of scipy sparse M×N hourly matrices."""
-        t = len(mats)
-        m, n = mats[0].shape
-        coos = [mm.tocoo() for mm in mats]
-        e_max = max(max((c.nnz for c in coos), default=1), 1)
-        e_max = -(-e_max // 8) * 8
-        poi = np.zeros((t, e_max), np.int32)
-        cbg = np.zeros((t, e_max), np.int32)
-        w = np.zeros((t, e_max), np.float32)
-        for i, c in enumerate(coos):
-            poi[i, : c.nnz] = c.row
-            cbg[i, : c.nnz] = c.col
-            w[i, : c.nnz] = c.data
+        poi, cbg, w, m, n = _pack_scipy(mats)
         return VisitSeq(
             poi_idx=jnp.asarray(poi), cbg_idx=jnp.asarray(cbg), w=jnp.asarray(w),
-            n_pois=m, n_cbgs=n, period=t,
+            n_pois=m, n_cbgs=n, period=poi.shape[0],
         )
+
+
+def _pack_dense(mats: np.ndarray):
+    """[T, M, N] dense hourly matrices → padded COO ([T,E] poi/cbg/w, M, N)."""
+    t, m, n = mats.shape
+    coos = [np.nonzero(mats[i]) for i in range(t)]
+    e_max = max(max((len(c[0]) for c in coos), default=1), 1)
+    e_max = -(-e_max // 8) * 8
+    poi = np.zeros((t, e_max), np.int32)
+    cbg = np.zeros((t, e_max), np.int32)
+    w = np.zeros((t, e_max), np.float32)
+    for i, (pi, ci) in enumerate(coos):
+        poi[i, : pi.size] = pi
+        cbg[i, : ci.size] = ci
+        w[i, : ci.size] = mats[i][pi, ci]
+    return poi, cbg, w, m, n
+
+
+def _pack_scipy(mats):
+    """List of scipy sparse M×N hourly matrices → padded COO arrays."""
+    t = len(mats)
+    m, n = mats[0].shape
+    coos = [mm.tocoo() for mm in mats]
+    e_max = max(max((c.nnz for c in coos), default=1), 1)
+    e_max = -(-e_max // 8) * 8
+    poi = np.zeros((t, e_max), np.int32)
+    cbg = np.zeros((t, e_max), np.int32)
+    w = np.zeros((t, e_max), np.float32)
+    for i, c in enumerate(coos):
+        poi[i, : c.nnz] = c.row
+        cbg[i, : c.nnz] = c.col
+        w[i, : c.nnz] = c.data
+    return poi, cbg, w, m, n
 
 
 jax.tree_util.register_dataclass(
@@ -380,6 +392,69 @@ def init_state(key, params: EpidemicParams, num_seeds: int):
     }
 
 
+def _run_blocks(state, keys, over, t0, params: EpidemicParams, visits: VisitSeq,
+                verbosity: int, blocks: int, num_seeds: int):
+    """Scan ``blocks`` recording blocks starting at absolute hour ``t0``.
+
+    Shared by :func:`simulate` (one call over the whole horizon) and
+    :func:`simulate_paged` (one call per streamed visit page). ``t0`` must be
+    a multiple of ``visits.period`` so ``t % period`` hits the right row.
+    """
+    hour_fn = jax.vmap(_single_seed_hour, in_axes=(0, 0, None, None, None))
+
+    def block_step(carry, block_idx):
+        state, keys, over = carry
+        # record at block start (reference records at loop top, t % 24 == 0)
+        rec = {
+            "L": state["latent"].sum(-1),
+            "I": state["infected"].sum(-1),
+            "R": state["removed"].sum(-1),
+            "history_C2": state["C2"],
+            "history_D2": state["D2"],
+        }
+
+        def hour_step(c, h):
+            state, keys, over = c
+            t = t0 + block_idx * verbosity + h
+            new_keys = jax.vmap(jax.random.fold_in)(keys, jnp.full((num_seeds,), t))
+            new_state, monitor = hour_fn(state, new_keys, t, params, visits)
+            # freeze everything once the epidemic has died globally
+            # (reference disease_model.py:200-206)
+            new_state = jax.tree.map(
+                lambda new, old: jnp.where(over, old, new), new_state, state
+            )
+            over = over | (
+                jnp.max(new_state["latent"] + new_state["infected"]) < 1.0
+            )
+            return (new_state, keys, over), jnp.where(over, 0, monitor.sum(0))
+
+        (state, keys, over), monitors = jax.lax.scan(
+            hour_step, (state, keys, over), jnp.arange(verbosity)
+        )
+        return (state, keys, over), (rec, monitors)
+
+    (state, keys, over), (recs, monitors) = jax.lax.scan(
+        block_step, (state, keys, over), jnp.arange(blocks)
+    )
+    return state, keys, over, recs, monitors
+
+
+def _finalize(state, recs, monitors, blocks):
+    all_affected = state["latent"] + state["infected"] + state["removed"]
+    return {
+        "L": recs["L"],
+        "I": recs["I"],
+        "R": recs["R"],
+        "history_C2": recs["history_C2"],
+        "history_D2": recs["history_D2"],
+        "C2": state["C2"],
+        "D2": state["D2"],
+        "total_affected": all_affected.sum(-1),
+        "cbg_all_affected": all_affected,
+        "monitor": monitors.reshape(-1, 5),
+    }
+
+
 def simulate(
     params: EpidemicParams,
     visits: VisitSeq,
@@ -404,54 +479,115 @@ def simulate(
     state = init_state(k_init, params, num_seeds)
     seed_keys = jax.random.split(k_run, num_seeds)
 
-    hour_fn = jax.vmap(_single_seed_hour, in_axes=(0, 0, None, None, None))
+    state, _, _, recs, monitors = _run_blocks(
+        state, seed_keys, jnp.asarray(False), 0, params, visits,
+        verbosity, blocks, num_seeds,
+    )
+    out = _finalize(state, recs, monitors, blocks)
+    out["times"] = jnp.arange(blocks) * verbosity
+    return out
 
-    def block_step(carry, block_idx):
-        state, keys, over = carry
-        # record at block start (reference records at loop top, t % 24 == 0)
-        rec = {
-            "L": state["latent"].sum(-1),
-            "I": state["infected"].sum(-1),
-            "R": state["removed"].sum(-1),
-            "history_C2": state["C2"],
-            "history_D2": state["D2"],
-        }
 
-        def hour_step(c, h):
-            state, keys, over = c
-            t = block_idx * verbosity + h
-            new_keys = jax.vmap(jax.random.fold_in)(keys, jnp.full((num_seeds,), t))
-            new_state, monitor = hour_fn(state, new_keys, t, params, visits)
-            # freeze everything once the epidemic has died globally
-            # (reference disease_model.py:200-206)
-            new_state = jax.tree.map(
-                lambda new, old: jnp.where(over, old, new), new_state, state
-            )
-            over = over | (
-                jnp.max(new_state["latent"] + new_state["infected"]) < 1.0
-            )
-            return (new_state, keys, over), jnp.where(over, 0, monitor.sum(0))
+@dataclasses.dataclass(frozen=True)
+class HostVisitSeq:
+    """Host-resident (NumPy) padded COO visit sequence for horizons whose
+    full ``[T, E_max]`` buffers exceed device memory (production SafeGraph:
+    ~50K POIs x 1512 non-periodic hours). Pages of hours are streamed to the
+    device by :func:`simulate_paged`."""
 
-        (state, keys, over), monitors = jax.lax.scan(
-            hour_step, (state, keys, over), jnp.arange(verbosity)
+    poi_idx: np.ndarray  # [T, E_max] int32
+    cbg_idx: np.ndarray
+    w: np.ndarray  # [T, E_max] float32
+    n_pois: int
+    n_cbgs: int
+
+    @staticmethod
+    def from_dense(mats: np.ndarray) -> "HostVisitSeq":
+        poi, cbg, w, m, n = _pack_dense(np.asarray(mats))
+        return HostVisitSeq(poi, cbg, w, m, n)
+
+    @staticmethod
+    def from_scipy(mats) -> "HostVisitSeq":
+        poi, cbg, w, m, n = _pack_scipy(mats)
+        return HostVisitSeq(poi, cbg, w, m, n)
+
+    def to_device(self) -> VisitSeq:
+        """Whole-horizon device VisitSeq (when it fits HBM)."""
+        return VisitSeq(
+            poi_idx=jnp.asarray(self.poi_idx), cbg_idx=jnp.asarray(self.cbg_idx),
+            w=jnp.asarray(self.w), n_pois=self.n_pois, n_cbgs=self.n_cbgs,
+            period=self.poi_idx.shape[0],
         )
-        return (state, keys, over), (rec, monitors)
 
-    (state, _, _), (recs, monitors) = jax.lax.scan(
-        block_step, (state, seed_keys, jnp.asarray(False)), jnp.arange(blocks)
+    def page(self, t0: int, hours: int) -> VisitSeq:
+        """Device VisitSeq for absolute hours [t0, t0+hours) with
+        period=hours, so the absolute-time lookup ``t % period`` lands on the
+        local row when ``t0`` is a multiple of ``hours``. Hours past the
+        stored horizon wrap around (periodic reuse, e.g. one stored week
+        cycling over a longer simulation)."""
+        rows = np.arange(t0, t0 + hours) % self.poi_idx.shape[0]
+        return VisitSeq(
+            poi_idx=jnp.asarray(self.poi_idx[rows]),
+            cbg_idx=jnp.asarray(self.cbg_idx[rows]),
+            w=jnp.asarray(self.w[rows]),
+            n_pois=self.n_pois, n_cbgs=self.n_cbgs, period=hours,
+        )
+
+
+def simulate_paged(
+    params: EpidemicParams,
+    visits: HostVisitSeq,
+    num_seeds: int,
+    key: jax.Array,
+    verbosity: int = 24,
+    page_hours: int = 168,
+):
+    """:func:`simulate` with host→device streaming of the visit sequence.
+
+    The horizon is cut into ``page_hours`` pages; page ``k+1``'s transfer is
+    issued (async ``device_put``) before page ``k``'s jitted scan is awaited,
+    so the copy rides under compute (double buffering). Bit-identical to
+    ``simulate`` on the same key: absolute hours drive both the PRNG fold-in
+    and the vaccination-time switch.
+    """
+    t_total = params.total_hours
+    if t_total % verbosity:
+        raise ValueError("total_hours must be a multiple of verbosity")
+    page_hours = min(page_hours, t_total)
+    if page_hours % verbosity or t_total % page_hours:
+        raise ValueError(
+            "page_hours must be a multiple of verbosity and divide total_hours"
+        )
+    blocks_per_page = page_hours // verbosity
+    n_pages = t_total // page_hours
+
+    k_init, k_run = jax.random.split(key)
+    state = init_state(k_init, params, num_seeds)
+    keys = jax.random.split(k_run, num_seeds)
+    over = jnp.asarray(False)
+
+    run = jax.jit(
+        functools.partial(
+            _run_blocks,
+            verbosity=verbosity, blocks=blocks_per_page, num_seeds=num_seeds,
+        )
     )
 
-    all_affected = state["latent"] + state["infected"] + state["removed"]
-    return {
-        "times": jnp.arange(blocks) * verbosity,
-        "L": recs["L"],
-        "I": recs["I"],
-        "R": recs["R"],
-        "history_C2": recs["history_C2"],
-        "history_D2": recs["history_D2"],
-        "C2": state["C2"],
-        "D2": state["D2"],
-        "total_affected": all_affected.sum(-1),
-        "cbg_all_affected": all_affected,
-        "monitor": monitors.reshape(-1, 5),
-    }
+    recs_pages, mon_pages = [], []
+    next_page = visits.page(0, page_hours)
+    for p in range(n_pages):
+        cur = next_page
+        if p + 1 < n_pages:  # issue next transfer before awaiting this page
+            next_page = visits.page((p + 1) * page_hours, page_hours)
+        state, keys, over, recs, monitors = run(
+            state, keys, over, p * page_hours, params, cur
+        )
+        recs_pages.append(recs)
+        mon_pages.append(monitors)
+
+    recs = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *recs_pages)
+    monitors = jnp.concatenate(mon_pages, axis=0)
+    blocks = t_total // verbosity
+    out = _finalize(state, recs, monitors, blocks)
+    out["times"] = jnp.arange(blocks) * verbosity
+    return out
