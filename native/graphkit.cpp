@@ -110,6 +110,70 @@ void gk_build_ell_fill(const int64_t* indptr, const int64_t* indices,
   }
 }
 
+// splitmix64 — deterministic label hash for tie-breaking (see below).
+static inline uint64_t gk_mix64(uint64_t x) {
+  x += 0x9e3779b97f4a7c15ULL;
+  x = (x ^ (x >> 30)) * 0xbf58476d1ce4e5b9ULL;
+  x = (x ^ (x >> 27)) * 0x94d049bb133111ebULL;
+  return x ^ (x >> 31);
+}
+
+// Weighted asynchronous label propagation over a CSR graph. Near-linear
+// community detection (Raghavan et al. 2007): each node repeatedly adopts
+// the label with the largest incident weight among its neighbors. This is
+// the scale path for locality ordering (parallel/partition.py) — Python
+// Louvain is infeasible beyond ~1M edges, and community order is what lets
+// the hybrid BCSR+ELL layout route dense tiles to the MXU on big real-world
+// graphs. Deterministic: nodes sweep in natural order; the current label is
+// kept on ties; among other tied labels the largest splitmix64 hash wins —
+// a fixed-but-arbitrary order, because any GLOBAL order (e.g. smallest
+// label) makes one extreme label flood the whole graph during the first
+// sweep, when every vote is a 1-vote tie. Returns the sweep count.
+int64_t gk_label_propagation(const int64_t* indptr, const int64_t* indices,
+                             const float* weights,  // may be null (unweighted)
+                             int64_t n_rows, int64_t max_iters,
+                             int64_t* labels_out) {
+  std::iota(labels_out, labels_out + n_rows, int64_t{0});
+  std::vector<float> votes(size_t(n_rows), 0.0f);
+  std::vector<int64_t> touched;
+  touched.reserve(64);
+  int64_t it = 0;
+  for (; it < max_iters; ++it) {
+    int64_t changed = 0;
+    for (int64_t u = 0; u < n_rows; ++u) {
+      const int64_t lo = indptr[u], hi = indptr[u + 1];
+      if (lo == hi) continue;
+      touched.clear();
+      for (int64_t e = lo; e < hi; ++e) {
+        int64_t lab = labels_out[indices[e]];
+        if (votes[lab] == 0.0f) touched.push_back(lab);
+        votes[lab] += weights ? weights[e] : 1.0f;
+      }
+      const int64_t cur = labels_out[u];
+      int64_t best = cur;
+      float best_v = votes[cur];  // 0 if no neighbor carries cur
+      uint64_t best_h = 0;
+      for (int64_t lab : touched) {
+        float v = votes[lab];
+        if (v < best_v || lab == best) continue;
+        uint64_t h = gk_mix64(uint64_t(lab));
+        if (v > best_v || (best != cur && h > best_h)) {
+          best = lab;
+          best_v = v;
+          best_h = h;
+        }
+      }
+      for (int64_t lab : touched) votes[lab] = 0.0f;
+      if (best != cur) {
+        labels_out[u] = best;
+        ++changed;
+      }
+    }
+    if (changed == 0) break;
+  }
+  return it;
+}
+
 // Parse a whitespace-separated two-column integer edge list (e.g. Planetoid
 // .cites). Returns the number of edges parsed, or -1 on open failure.
 // Caller provides capacity; pass cap=0 to just count.

@@ -191,12 +191,20 @@ def locality_order(graph: Graph, method: str = "auto") -> np.ndarray:
     Contiguous range partitioning of an arbitrary node labeling scatters
     communities across shards (45-79% remote edges on random graphs, see
     bench_scaling.py). ``'louvain'`` orders nodes community-by-community
-    (best halo reduction; cost grows with edges, used automatically below
-    ~1M edges); ``'bfs'`` keeps neighborhoods contiguous and scales to any
-    size. Returns ``perm`` with ``perm[new_id] = old_id``.
+    (best halo reduction; Python cost grows steeply with edges, used
+    automatically below ~1M edges); ``'lp'`` is native weighted label
+    propagation (near-linear C++, the scale path — used automatically above
+    1M edges when the graphkit library is built); ``'bfs'`` keeps
+    neighborhoods contiguous and needs only scipy. Returns ``perm`` with
+    ``perm[new_id] = old_id``.
     """
+    from pygcn_tpu.utils import native
+
     if method == "auto":
-        method = "louvain" if graph.n_edges < 1_000_000 else "bfs"
+        if graph.n_edges < 1_000_000:
+            method = "louvain"
+        else:
+            method = "lp" if native.available() else "bfs"
     if method == "louvain":
         import networkx as nx
 
@@ -205,6 +213,13 @@ def locality_order(graph: Graph, method: str = "auto") -> np.ndarray:
         comms = nx.community.louvain_communities(g_nx, seed=0)
         comms = sorted(comms, key=len, reverse=True)
         return np.asarray([n for c in comms for n in sorted(c)], np.int64)
+    if method == "lp":
+        a = graph.to_scipy().tocsr()
+        labels = native.label_propagation(a.indptr, a.indices, a.data)
+        # order communities largest-first, nodes ascending within each
+        _, inv, counts = np.unique(labels, return_inverse=True, return_counts=True)
+        rank = np.argsort(np.argsort(-counts, kind="stable"), kind="stable")
+        return np.lexsort((np.arange(graph.n_nodes), rank[inv])).astype(np.int64)
 
     import scipy.sparse.csgraph as csgraph
 

@@ -52,6 +52,10 @@ def _load() -> Optional[ctypes.CDLL]:
     ]
     lib.gk_parse_edge_list.argtypes = [ctypes.c_char_p, _i64p, _i64p, ctypes.c_int64]
     lib.gk_parse_edge_list.restype = ctypes.c_int64
+    lib.gk_label_propagation.argtypes = [
+        _i64p, _i64p, _f32p, ctypes.c_int64, ctypes.c_int64, _i64p,
+    ]
+    lib.gk_label_propagation.restype = ctypes.c_int64
     _lib = lib
     return _lib
 
@@ -120,6 +124,76 @@ def build_ell_layout(
         n_rows, _ptr(ks64, _i64p), len(ks), col_ptrs, val_ptrs, row_ptrs,
     )
     return cols, vals, rows
+
+
+def label_propagation(
+    indptr: np.ndarray,
+    indices: np.ndarray,
+    weights: Optional[np.ndarray] = None,
+    max_iters: int = 20,
+) -> np.ndarray:
+    """Community labels via weighted asynchronous label propagation over CSR.
+
+    Uses the native kernel when available; otherwise a NumPy sweep with the
+    same deterministic semantics (natural node order; switch only on a
+    strictly larger vote; among non-current ties prefer the smaller label).
+    """
+    n_rows = indptr.size - 1
+    lib = _load()
+    if lib is not None:
+        indptr64 = np.ascontiguousarray(indptr, np.int64)
+        indices64 = np.ascontiguousarray(indices, np.int64)
+        labels = np.empty(n_rows, np.int64)
+        wp = (
+            _ptr(np.ascontiguousarray(weights, np.float32), _f32p)
+            if weights is not None else None
+        )
+        lib.gk_label_propagation(
+            _ptr(indptr64, _i64p), _ptr(indices64, _i64p), wp,
+            n_rows, max_iters, _ptr(labels, _i64p),
+        )
+        return labels
+
+    labels = np.arange(n_rows, dtype=np.int64)
+    w = (np.ones(indices.size, np.float32) if weights is None
+         else np.asarray(weights, np.float32))
+    for _ in range(max_iters):
+        changed = 0
+        for u in range(n_rows):
+            lo, hi = int(indptr[u]), int(indptr[u + 1])
+            if lo == hi:
+                continue
+            labs = labels[indices[lo:hi]]
+            votes: dict = {}
+            for lab, wt in zip(labs, w[lo:hi]):
+                lab = int(lab)
+                votes[lab] = np.float32(votes.get(lab, np.float32(0.0)) + np.float32(wt))
+            cur = int(labels[u])
+            best, best_v = cur, votes.get(cur, np.float32(0.0))
+            best_h = 0
+            for lab, v in votes.items():
+                if v < best_v or lab == best:
+                    continue
+                h = _mix64(lab)
+                if v > best_v or (best != cur and h > best_h):
+                    best, best_v, best_h = lab, v, h
+            if best != cur:
+                labels[u] = best
+                changed += 1
+        if changed == 0:
+            break
+    return labels
+
+
+_M64 = (1 << 64) - 1
+
+
+def _mix64(x: int) -> int:
+    """splitmix64 — must match ``gk_mix64`` in native/graphkit.cpp exactly."""
+    x = (x + 0x9E3779B97F4A7C15) & _M64
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & _M64
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & _M64
+    return x ^ (x >> 31)
 
 
 def parse_edge_list(path: str) -> Optional[Tuple[np.ndarray, np.ndarray]]:

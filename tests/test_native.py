@@ -85,3 +85,66 @@ def test_ell_via_native_matches_spmm():
     np.testing.assert_allclose(
         np.asarray(out), m.toarray() @ np.asarray(x), rtol=2e-4, atol=2e-4
     )
+
+
+def test_label_propagation_finds_planted_communities():
+    """Native LP (and the NumPy fallback) recovers SBM blocks."""
+    import numpy as np
+    import scipy.sparse as sp
+
+    from pygcn_tpu.utils import native
+
+    rng = np.random.default_rng(0)
+    n, b = 120, 3
+    block = np.repeat(np.arange(b), n // b)
+    p = np.where(block[:, None] == block[None, :], 0.3, 0.01)
+    a = sp.csr_matrix(np.triu(rng.uniform(size=(n, n)) < p, 1).astype(np.float32))
+    a = a + a.T
+
+    labels = native.label_propagation(a.indptr, a.indices, a.data)
+    # all same-block pairs should share a label for a planted partition this
+    # strong; communities must not merge across blocks
+    for g in range(b):
+        assert len(set(labels[block == g])) == 1, g
+    assert len(set(labels)) == b
+
+    if native.available():
+        # NumPy fallback must agree with the native kernel exactly
+        import pygcn_tpu.utils.native as nat
+
+        lib, nat._lib = nat._lib, None
+        tried = nat._tried
+        nat._tried = True  # block reload -> force fallback
+        try:
+            labels_py = native.label_propagation(a.indptr, a.indices, a.data)
+        finally:
+            nat._lib, nat._tried = lib, tried
+        np.testing.assert_array_equal(labels, labels_py)
+
+
+def test_locality_order_lp_groups_communities():
+    import numpy as np
+    import scipy.sparse as sp
+
+    from pygcn_tpu.graph.graph import Graph
+    from pygcn_tpu.parallel.partition import locality_order
+
+    rng = np.random.default_rng(1)
+    n, b = 240, 4
+    block = np.repeat(np.arange(b), n // b)
+    # interleave blocks in node id so natural order is maximally non-local
+    ids = np.argsort(np.tile(np.arange(n // b), b), kind="stable")
+    block = block[ids]
+    p = np.where(block[:, None] == block[None, :], 0.25, 0.005)
+    a = sp.coo_matrix(np.triu(rng.uniform(size=(n, n)) < p, 1).astype(np.float32))
+    a = (a + a.T).tocoo()
+    g = Graph.from_scipy(a, is_symmetric=True, build_dense=False)
+    perm = locality_order(g, method="lp")
+    assert sorted(perm.tolist()) == list(range(n))
+    # nodes of the same planted block end up contiguous: with 4 shards of 60,
+    # the cross-shard edge fraction should drop far below the interleaved one
+    inv = np.empty(n, np.int64); inv[perm] = np.arange(n)
+    s, r = inv[a.row], inv[a.col]
+    cross_new = (s // 60 != r // 60).mean()
+    cross_old = (a.row // 60 != a.col // 60).mean()
+    assert cross_new < 0.25 * cross_old
