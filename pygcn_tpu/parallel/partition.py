@@ -214,12 +214,38 @@ def locality_order(graph: Graph, method: str = "auto") -> np.ndarray:
         comms = sorted(comms, key=len, reverse=True)
         return np.asarray([n for c in comms for n in sorted(c)], np.int64)
     if method == "lp":
+        import scipy.sparse.csgraph as csgraph
+
         a = graph.to_scipy().tocsr()
         labels = native.label_propagation(a.indptr, a.indices, a.data)
-        # order communities largest-first, nodes ascending within each
+        # communities largest-first; WITHIN each community order nodes by a
+        # BFS of the induced subgraph — LP communities are coarse (thousands
+        # of nodes), and intra-community BFS order is what makes 128-node
+        # id ranges share neighborhoods, i.e. what fills the hybrid layout's
+        # MXU tiles (ops/hybrid.py).
         _, inv, counts = np.unique(labels, return_inverse=True, return_counts=True)
         rank = np.argsort(np.argsort(-counts, kind="stable"), kind="stable")
-        return np.lexsort((np.arange(graph.n_nodes), rank[inv])).astype(np.int64)
+        order = []
+        for comm in np.argsort(-counts, kind="stable"):
+            nodes = np.nonzero(inv == comm)[0]
+            if nodes.size <= 2:
+                order.append(nodes)
+                continue
+            sub = a[nodes][:, nodes]
+            seen = np.zeros(nodes.size, bool)
+            sub_order = []
+            deg = np.asarray((sub != 0).sum(axis=1)).ravel()
+            while len(sub_order) < nodes.size:
+                seeds = np.nonzero(~seen)[0]
+                start = seeds[np.argmax(deg[seeds])]
+                hit = csgraph.breadth_first_order(
+                    sub, int(start), directed=False, return_predecessors=False
+                )
+                hit = hit[~seen[hit]]
+                seen[hit] = True
+                sub_order.extend(hit.tolist())
+            order.append(nodes[np.asarray(sub_order)])
+        return np.concatenate(order).astype(np.int64)
 
     import scipy.sparse.csgraph as csgraph
 
