@@ -260,6 +260,23 @@ def _fast_count_draw(key, mean, var, upper):
     return jnp.where(mean <= _SMALL_MEAN, jnp.minimum(small, upper), large)
 
 
+def _segment_matmul(values, idx_gather, idx_segment, w_e, num_segments: int):
+    """Weighted gather+segment over the LAST axis of ``values``:
+
+    ``out[..., s] = Σ_{e: idx_segment[e]==s} w_e[e] · values[..., idx_gather[e]]``
+
+    i.e. the hourly sparse visit-matrix product, computed node-major so the
+    seed/batch axis rides as contiguous wide rows through one gather and one
+    segment scatter (the seed-major [S, E] form makes every access strided —
+    measured ~an order of magnitude slower at production scale).
+    """
+    batch_shape = values.shape[:-1]
+    x = jnp.moveaxis(values, -1, 0).reshape(values.shape[-1], -1)  # [N, B]
+    g = jnp.take(x, idx_gather, axis=0) * w_e[:, None]  # [E, B]
+    seg = jax.ops.segment_sum(g, idx_segment, num_segments=num_segments)
+    return jnp.moveaxis(seg.reshape((num_segments,) + batch_shape), 0, -1)
+
+
 def compute_hour_rates(state, t, params: EpidemicParams, visits: VisitSeq):
     """Deterministic per-hour infection quantities (reference
     ``get_new_cases`` math, ``disease_model.py:260-345``), exposed separately
@@ -270,6 +287,9 @@ def compute_hour_rates(state, t, params: EpidemicParams, visits: VisitSeq):
     - ``mean_from_poi``: per-CBG expected POI-sourced cases
       ``α(t)·s/n · Σ_p V[p,c]·poi_rates[p]``;
     plus num_sus, attack/death rate vectors and the clip counters.
+
+    State arrays may carry leading batch axes (``[..., N]``, e.g. the
+    Monte-Carlo seed axis); clip counters count over ALL axes.
     """
     sizes = params.cbg_sizes
     latent, infected, removed = state["latent"], state["infected"], state["removed"]
@@ -280,12 +300,13 @@ def compute_hour_rates(state, t, params: EpidemicParams, visits: VisitSeq):
     after_vac = t >= params.vaccination_time
     attack = jnp.where(after_vac, params.attack_vac, params.attack_orig)
     death_rate = jnp.where(after_vac, params.death_vac, params.death_orig)
+    n_batch = int(np.prod(densities.shape[:-1], dtype=np.int64))
 
     if params.psi > 0:
         base_rates = params.home_beta * attack * densities
     else:
-        overall = infected.sum() / sizes.sum()
-        base_rates = jnp.full_like(densities, overall * params.home_beta)
+        overall = infected.sum(-1, keepdims=True) / sizes.sum()
+        base_rates = jnp.broadcast_to(overall * params.home_beta, densities.shape)
     base_rates = jnp.nan_to_num(base_rates)
     n_base_clipped = (base_rates > 1.0).sum()
     base_rates = jnp.clip(base_rates, None, 1.0)
@@ -296,16 +317,18 @@ def compute_hour_rates(state, t, params: EpidemicParams, visits: VisitSeq):
     w_e = visits.w[tp]
 
     poi_visits = jax.ops.segment_sum(w_e, poi_e, num_segments=visits.n_pois)
-    n_active_pois = (poi_visits > 0).sum()
-    poi_rates = params.poi_factors * jax.ops.segment_sum(
-        w_e * densities[cbg_e], poi_e, num_segments=visits.n_pois
+    # state-independent: count once per batch element to match the summed
+    # per-seed counters of the vmapped formulation
+    n_active_pois = (poi_visits > 0).sum() * max(n_batch, 1)
+    poi_rates = params.poi_factors * _segment_matmul(
+        densities, cbg_e, poi_e, w_e, visits.n_pois
     )
     n_poi_clipped = (poi_rates > 1.0).sum()
     if params.clip_poisson_approximation:
         poi_rates = jnp.clip(poi_rates, None, 1.0)
 
-    mean_from_poi = attack * sus_frac * jax.ops.segment_sum(
-        w_e * poi_rates[poi_e], cbg_e, num_segments=visits.n_cbgs
+    mean_from_poi = attack * sus_frac * _segment_matmul(
+        poi_rates, poi_e, cbg_e, w_e, visits.n_cbgs
     )
     mean_from_poi = jnp.nan_to_num(mean_from_poi)
     return {
@@ -321,8 +344,13 @@ def compute_hour_rates(state, t, params: EpidemicParams, visits: VisitSeq):
     }
 
 
-def _single_seed_hour(state, key, t, params: EpidemicParams, visits: VisitSeq):
-    """One hour for one seed. ``state``: dict of [N] float arrays."""
+def _hour_update(state, key, t, params: EpidemicParams, visits: VisitSeq):
+    """One hour for ALL seeds at once. ``state``: dict of [S, N] float arrays
+    (any leading batch shape works). All stochastic draws are single [S, N]
+    shaped calls; the two sparse visit products run node-major with the seed
+    axis as contiguous wide rows (see ``_segment_matmul``) — replacing the
+    per-seed ``vmap`` whose strided access dominated at production scale.
+    Returns ``(new_state, monitor[5])`` with counters summed over seeds."""
     n_keys = jax.random.split(key, 7)
 
     # --- get_new_cases (disease_model.py:260-345) ---
@@ -393,14 +421,13 @@ def init_state(key, params: EpidemicParams, num_seeds: int):
 
 
 def _run_blocks(state, keys, over, t0, params: EpidemicParams, visits: VisitSeq,
-                verbosity: int, blocks: int, num_seeds: int):
+                verbosity: int, blocks: int):
     """Scan ``blocks`` recording blocks starting at absolute hour ``t0``.
 
     Shared by :func:`simulate` (one call over the whole horizon) and
     :func:`simulate_paged` (one call per streamed visit page). ``t0`` must be
     a multiple of ``visits.period`` so ``t % period`` hits the right row.
     """
-    hour_fn = jax.vmap(_single_seed_hour, in_axes=(0, 0, None, None, None))
 
     def block_step(carry, block_idx):
         state, keys, over = carry
@@ -416,8 +443,8 @@ def _run_blocks(state, keys, over, t0, params: EpidemicParams, visits: VisitSeq,
         def hour_step(c, h):
             state, keys, over = c
             t = t0 + block_idx * verbosity + h
-            new_keys = jax.vmap(jax.random.fold_in)(keys, jnp.full((num_seeds,), t))
-            new_state, monitor = hour_fn(state, new_keys, t, params, visits)
+            k_t = jax.random.fold_in(keys, t)
+            new_state, monitor = _hour_update(state, k_t, t, params, visits)
             # freeze everything once the epidemic has died globally
             # (reference disease_model.py:200-206)
             new_state = jax.tree.map(
@@ -426,7 +453,7 @@ def _run_blocks(state, keys, over, t0, params: EpidemicParams, visits: VisitSeq,
             over = over | (
                 jnp.max(new_state["latent"] + new_state["infected"]) < 1.0
             )
-            return (new_state, keys, over), jnp.where(over, 0, monitor.sum(0))
+            return (new_state, keys, over), jnp.where(over, 0, monitor)
 
         (state, keys, over), monitors = jax.lax.scan(
             hour_step, (state, keys, over), jnp.arange(verbosity)
@@ -477,11 +504,9 @@ def simulate(
 
     k_init, k_run = jax.random.split(key)
     state = init_state(k_init, params, num_seeds)
-    seed_keys = jax.random.split(k_run, num_seeds)
 
     state, _, _, recs, monitors = _run_blocks(
-        state, seed_keys, jnp.asarray(False), 0, params, visits,
-        verbosity, blocks, num_seeds,
+        state, k_run, jnp.asarray(False), 0, params, visits, verbosity, blocks,
     )
     out = _finalize(state, recs, monitors, blocks)
     out["times"] = jnp.arange(blocks) * verbosity
@@ -563,13 +588,12 @@ def simulate_paged(
 
     k_init, k_run = jax.random.split(key)
     state = init_state(k_init, params, num_seeds)
-    keys = jax.random.split(k_run, num_seeds)
+    keys = k_run
     over = jnp.asarray(False)
 
     run = jax.jit(
         functools.partial(
-            _run_blocks,
-            verbosity=verbosity, blocks=blocks_per_page, num_seeds=num_seeds,
+            _run_blocks, verbosity=verbosity, blocks=blocks_per_page,
         )
     )
 
