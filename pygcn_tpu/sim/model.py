@@ -9,11 +9,14 @@ Python ``while`` loop with two sparse matmuls per hour. Here:
 - the hour loop is a ``lax.scan`` (outer scan over recording blocks, inner
   scan over the ``verbosity`` hours within a block, so histories are recorded
   once per block without materializing per-hour state);
-- Monte-Carlo seeds are a ``vmap`` axis (each seed carries its own PRNG key);
+- Monte-Carlo seeds are a batch axis of every state array and draw ([S, N]);
 - the two per-hour sparse products (POI infection rates ``V @ density`` and
-  CBG cases ``rates @ V``, reference ``disease_model.py:311,319-321``) run on
-  the sparse engine's gather+segment path over a static padded COO visit
-  sequence (optionally periodic, e.g. one week of hourly matrices reused);
+  CBG cases ``rates @ V``, reference ``disease_model.py:311,319-321``) run
+  node-major over a static padded COO visit sequence (optionally periodic,
+  e.g. one week of hourly matrices reused) with the seed axis as contiguous
+  wide rows — one gather + one segment scatter each (``_segment_matmul``);
+- horizons whose visit buffers exceed HBM stream host pages through
+  ``simulate_paged`` (double-buffered, bit-identical to ``simulate``);
 - the stochastic draws (binomial seeding/transitions, Poisson POI infections)
   use ``jax.random`` with keys threaded through the scan.
 
