@@ -554,10 +554,13 @@ class HostVisitSeq:
         stored horizon wrap around (periodic reuse, e.g. one stored week
         cycling over a longer simulation)."""
         rows = np.arange(t0, t0 + hours) % self.poi_idx.shape[0]
+        # jax.device_put is asynchronous: simulate_paged issues page k+1's
+        # transfer before awaiting page k's scan, so the copy rides under
+        # compute on hardware with real DMA bandwidth
         return VisitSeq(
-            poi_idx=jnp.asarray(self.poi_idx[rows]),
-            cbg_idx=jnp.asarray(self.cbg_idx[rows]),
-            w=jnp.asarray(self.w[rows]),
+            poi_idx=jax.device_put(self.poi_idx[rows]),
+            cbg_idx=jax.device_put(self.cbg_idx[rows]),
+            w=jax.device_put(self.w[rows]),
             n_pois=self.n_pois, n_cbgs=self.n_cbgs, period=hours,
         )
 
