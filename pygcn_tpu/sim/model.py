@@ -275,8 +275,16 @@ def _segment_matmul(values, idx_gather, idx_segment, w_e, num_segments: int):
     """
     batch_shape = values.shape[:-1]
     x = jnp.moveaxis(values, -1, 0).reshape(values.shape[-1], -1)  # [N, B]
-    g = jnp.take(x, idx_gather, axis=0) * w_e[:, None]  # [E, B]
-    seg = jax.ops.segment_sum(g, idx_segment, num_segments=num_segments)
+    # gather cost is per-row and flat up to 512 B/row with a cliff above
+    # (PERF_NOTES.md) — chunk wide batch axes (e.g. vmapped policies x seeds)
+    chunks = [
+        jax.ops.segment_sum(
+            jnp.take(x[:, i : i + 128], idx_gather, axis=0) * w_e[:, None],
+            idx_segment, num_segments=num_segments,
+        )
+        for i in range(0, x.shape[1], 128)
+    ]
+    seg = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks, axis=1)
     return jnp.moveaxis(seg.reshape((num_segments,) + batch_shape), 0, -1)
 
 
