@@ -174,6 +174,73 @@ int64_t gk_label_propagation(const int64_t* indptr, const int64_t* indices,
   return it;
 }
 
+// Sorted unique + inverse map over int64 keys — np.unique(return_inverse)
+// semantics, but hash-based instead of sort-based over the full array (only
+// the unique keys are sorted). This is the hot host-side step of layered
+// neighborhood sampling (ops/sampling.py builds the per-layer node set by
+// deduplicating seeds + sampled neighbor ids every minibatch; the reference
+// has no sampler — it trains full-batch only, pygcn/train.py).
+// uniq_out needs capacity n; returns the unique count.
+int64_t gk_unique_inverse(const int64_t* vals, int64_t n, int64_t* uniq_out,
+                          int64_t* inverse_out) {
+  if (n == 0) return 0;
+  // open-addressing table: slot -> (key, rank); size = pow2 >= 2n
+  uint64_t cap = 1;
+  while (cap < uint64_t(n) * 2) cap <<= 1;
+  const uint64_t mask = cap - 1;
+  std::vector<int64_t> keys(cap);
+  std::vector<int64_t> rank(cap);
+  std::vector<uint8_t> used(cap, 0);
+
+  int64_t n_uniq = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t v = vals[i];
+    uint64_t h = gk_mix64(uint64_t(v)) & mask;
+    while (used[h] && keys[h] != v) h = (h + 1) & mask;
+    if (!used[h]) {
+      used[h] = 1;
+      keys[h] = v;
+      uniq_out[n_uniq++] = v;
+    }
+  }
+  std::sort(uniq_out, uniq_out + n_uniq);
+  for (int64_t r = 0; r < n_uniq; ++r) {
+    const int64_t v = uniq_out[r];
+    uint64_t h = gk_mix64(uint64_t(v)) & mask;
+    while (keys[h] != v) h = (h + 1) & mask;  // slot exists by construction
+    rank[h] = r;
+  }
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t v = vals[i];
+    uint64_t h = gk_mix64(uint64_t(v)) & mask;
+    while (keys[h] != v) h = (h + 1) & mask;
+    inverse_out[i] = rank[h];
+  }
+  return n_uniq;
+}
+
+// Bounded-range variant: vals are known to lie in [0, n_max) (node ids), so
+// a dense presence/rank table replaces the hash — two sequential passes over
+// vals plus two over n_max, far faster than either a hash or a sort when
+// n_max is graph-sized. scratch must hold n_max int32 and be zero-initialized
+// by the caller (it is returned zeroed again, so one buffer can be reused
+// across calls).
+int64_t gk_unique_inverse_bounded(const int64_t* vals, int64_t n,
+                                  int64_t n_max, int32_t* scratch,
+                                  int64_t* uniq_out, int64_t* inverse_out) {
+  for (int64_t i = 0; i < n; ++i) scratch[vals[i]] = 1;
+  int64_t n_uniq = 0;
+  for (int64_t v = 0; v < n_max; ++v) {
+    if (scratch[v]) {
+      uniq_out[n_uniq] = v;
+      scratch[v] = int32_t(++n_uniq);  // rank + 1 (0 = absent)
+    }
+  }
+  for (int64_t i = 0; i < n; ++i) inverse_out[i] = scratch[vals[i]] - 1;
+  for (int64_t r = 0; r < n_uniq; ++r) scratch[uniq_out[r]] = 0;
+  return n_uniq;
+}
+
 // Parse a whitespace-separated two-column integer edge list (e.g. Planetoid
 // .cites). Returns the number of edges parsed, or -1 on open failure.
 // Caller provides capacity; pass cap=0 to just count.

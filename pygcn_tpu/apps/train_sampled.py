@@ -28,6 +28,8 @@ def main(argv=None):
     ap.add_argument("--epochs", type=int, default=3)
     ap.add_argument("--lr", type=float, default=0.01)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--prefetch", type=int, default=2,
+                    help="host-sampling lookahead depth (0 = serial)")
     args = ap.parse_args(argv)
 
     from pygcn_tpu.apps.common import set_process_title
@@ -41,7 +43,12 @@ def main(argv=None):
 
     from pygcn_tpu.graph.datasets import sbm_classification
     from pygcn_tpu.nn import init as tinit
-    from pygcn_tpu.ops.sampling import NeighborSampler, SampledBatch, sampled_gcn_forward
+    from pygcn_tpu.ops.sampling import (
+        NeighborSampler,
+        SampledBatch,
+        iter_sampled_batches,
+        sampled_gcn_forward,
+    )
     from pygcn_tpu.train import adam_l2
 
     data = sbm_classification(
@@ -64,11 +71,15 @@ def main(argv=None):
     x_all = jnp.asarray(data.features)
     y_all = np.asarray(data.labels)
 
+    # x_all stays device-resident; the step receives node INDICES and gathers
+    # on device (only indices + block metadata cross host->device per batch).
+    # Sampled batches are pow2-padded so the step compiles O(log) times, not
+    # once per minibatch (input-node counts vary batch to batch).
     @jax.jit
-    def step(params, opt_state, blocks, x_in, y):
+    def step(params, opt_state, blocks, input_nodes, x_full, y):
         def loss_fn(p):
             batch = SampledBatch(blocks=blocks, input_nodes=None, output_nodes=None)
-            logits = sampled_gcn_forward(p, batch, x_in)
+            logits = sampled_gcn_forward(p, batch, x_full[input_nodes])
             logp = jax.nn.log_softmax(logits, axis=1)
             return -jnp.take_along_axis(logp, y[:, None], axis=1).mean()
 
@@ -78,18 +89,24 @@ def main(argv=None):
 
     rng = np.random.default_rng(args.seed)
     steps_per_epoch = max(1, len(data.idx_train) // args.batch_size)
-    t0 = time.time()
-    n_batches = 0
-    for epoch in range(args.epochs):
+
+    def epoch_seed_batches():
         perm = rng.permutation(data.idx_train)
         for s in range(steps_per_epoch):
             seeds = perm[s * args.batch_size : (s + 1) * args.batch_size]
             if seeds.size < args.batch_size:  # keep shapes static
                 seeds = np.concatenate([seeds, perm[: args.batch_size - seeds.size]])
-            batch = sampler.sample(seeds)
+            yield seeds
+
+    t0 = time.time()
+    n_batches = 0
+    for epoch in range(args.epochs):
+        for seeds, batch in iter_sampled_batches(
+            sampler, epoch_seed_batches(), prefetch=args.prefetch, pad=True
+        ):
             params, opt_state, loss = step(
                 params, opt_state, batch.blocks,
-                x_all[jnp.asarray(batch.input_nodes)],
+                jnp.asarray(batch.input_nodes), x_all,
                 jnp.asarray(y_all[seeds]),
             )
             n_batches += 1

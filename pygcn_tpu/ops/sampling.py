@@ -55,6 +55,11 @@ def aggregate_block(block: SampledBlock, h: jax.Array) -> jax.Array:
     return (gathered * block.weights[..., None]).sum(axis=1)
 
 
+def _pow2_pad_len(n: int) -> int:
+    """Next power of two ≥ n (≥ 1); bounds the number of distinct jit shapes."""
+    return 1 << max(int(n) - 1, 0).bit_length()
+
+
 class NeighborSampler:
     """Uniform fixed-fanout sampler over a CSR adjacency.
 
@@ -78,6 +83,9 @@ class NeighborSampler:
         self.fanouts = list(fanouts)
         self.mode = mode
         self.rng = np.random.default_rng(seed)
+        # dense rank table for the native bounded unique/relabel kernel;
+        # allocated lazily, reused (and re-zeroed) across sample() calls
+        self._uniq_scratch: np.ndarray | None = None
 
     def _sample_layer(self, out_nodes: np.ndarray, k: int):
         m = out_nodes.size
@@ -96,7 +104,20 @@ class NeighborSampler:
         cols_global = np.where(has_edges[:, None], cols_global, out_nodes[:, None])
         return cols_global, weights
 
-    def sample(self, seeds: np.ndarray) -> SampledBatch:
+    def sample(self, seeds: np.ndarray, pad: bool = False) -> SampledBatch:
+        """Sample a layered minibatch.
+
+        ``pad=True`` rounds every dynamic dimension (the per-layer deduped
+        node-set sizes) up to the next power of two, so batch pytrees take
+        only O(log) distinct shapes — without it every minibatch has a fresh
+        ``input_nodes`` count and a jitted train step recompiles *per batch*
+        on TPU. Padding is appended after sampling (node id 0, zero weights),
+        so the sampled values on real rows are identical to ``pad=False``.
+        """
+        from pygcn_tpu.utils.native import available, unique_inverse
+
+        if self._uniq_scratch is None and available():
+            self._uniq_scratch = np.zeros(self.n, np.int32)
         seeds = np.asarray(seeds, np.int64)
         blocks_meta = []
         out_nodes = seeds
@@ -104,24 +125,108 @@ class NeighborSampler:
         for k in reversed(self.fanouts):
             cols_global, weights = self._sample_layer(out_nodes, k)
             need = np.concatenate([out_nodes, cols_global.reshape(-1)])
-            in_nodes, inverse = np.unique(need, return_inverse=True)
+            in_nodes, inverse = unique_inverse(need, self.n, self._uniq_scratch)
             self_idx = inverse[: out_nodes.size]
             cols_local = inverse[out_nodes.size :].reshape(cols_global.shape)
             blocks_meta.append((cols_local, weights, self_idx, out_nodes))
             out_nodes = in_nodes
+
+        if pad:
+            # Pad each inner node set (and the block arrays shaped by it) to
+            # the next power of two. Padded block rows gather node-set entry 0
+            # with zero weight; their outputs are never referenced because
+            # real cols only index real entries.
+            in_nodes_pad = _pow2_pad_len(out_nodes.size)
+            out_nodes = np.concatenate(
+                [out_nodes, np.zeros(in_nodes_pad - out_nodes.size, np.int64)]
+            )
+            padded_meta = []
+            # blocks_meta is outermost-first; the outermost m (= seeds) stays
+            for depth, (cols_local, weights, self_idx, onodes) in enumerate(
+                blocks_meta
+            ):
+                m = cols_local.shape[0]
+                m_pad = m if depth == 0 else _pow2_pad_len(m)
+                cols_local = np.concatenate(
+                    [cols_local, np.zeros((m_pad - m,) + cols_local.shape[1:], cols_local.dtype)]
+                )
+                weights = np.concatenate(
+                    [weights, np.zeros((m_pad - m,) + weights.shape[1:], weights.dtype)]
+                )
+                self_idx = np.concatenate(
+                    [self_idx, np.zeros(m_pad - m, self_idx.dtype)]
+                )
+                padded_meta.append((cols_local, weights, self_idx, onodes))
+            blocks_meta = padded_meta
 
         blocks = []
         for cols_local, weights, self_idx, _ in reversed(blocks_meta):
             blocks.append(
                 SampledBlock(
                     cols=jnp.asarray(cols_local.astype(np.int32)),
-                    weights=jnp.asarray(weights),
+                    weights=jnp.asarray(weights.astype(np.float32)),
                     self_idx=jnp.asarray(self_idx.astype(np.int32)),
                 )
             )
         return SampledBatch(
             blocks=blocks, input_nodes=out_nodes, output_nodes=seeds
         )
+
+
+def iter_sampled_batches(
+    sampler: "NeighborSampler",
+    seed_batches,
+    prefetch: int = 2,
+    pad: bool = False,
+):
+    """Yield ``(seeds, SampledBatch)`` with host sampling overlapped.
+
+    A single producer thread runs ``sampler.sample`` up to ``prefetch``
+    minibatches ahead of the consumer, so CPU-side sampling (RNG picks, CSR
+    gathers, dedup/relabel — see ``NeighborSampler.sample``) hides under the
+    device step instead of serializing with it. One producer keeps the
+    sampler's RNG stream identical to the serial loop; the native
+    ``gk_unique_inverse`` ctypes call releases the GIL, so the overlap is
+    real. ``prefetch=0`` degrades to the serial loop.
+    """
+    seed_batches = list(seed_batches)
+    if prefetch <= 0:
+        for seeds in seed_batches:
+            yield seeds, sampler.sample(seeds, pad=pad)
+        return
+
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+    _END = object()
+
+    def _produce():
+        try:
+            for seeds in seed_batches:
+                q.put((seeds, sampler.sample(seeds, pad=pad)))
+        except BaseException as e:  # propagate into the consumer
+            q.put(e)
+            return
+        q.put(_END)
+
+    t = threading.Thread(target=_produce, daemon=True)
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        # unblock the producer if the consumer stops early
+        while t.is_alive():
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                t.join(timeout=0.1)
 
 
 def sampled_gcn_forward(params_list, batch: SampledBatch, x_input: jax.Array,

@@ -56,6 +56,12 @@ def _load() -> Optional[ctypes.CDLL]:
         _i64p, _i64p, _f32p, ctypes.c_int64, ctypes.c_int64, _i64p,
     ]
     lib.gk_label_propagation.restype = ctypes.c_int64
+    lib.gk_unique_inverse.argtypes = [_i64p, ctypes.c_int64, _i64p, _i64p]
+    lib.gk_unique_inverse.restype = ctypes.c_int64
+    lib.gk_unique_inverse_bounded.argtypes = [
+        _i64p, ctypes.c_int64, ctypes.c_int64, _i32p, _i64p, _i64p,
+    ]
+    lib.gk_unique_inverse_bounded.restype = ctypes.c_int64
     _lib = lib
     return _lib
 
@@ -194,6 +200,43 @@ def _mix64(x: int) -> int:
     x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & _M64
     x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & _M64
     return x ^ (x >> 31)
+
+
+def unique_inverse(
+    vals: np.ndarray,
+    n_max: Optional[int] = None,
+    scratch: Optional[np.ndarray] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """``np.unique(vals, return_inverse=True)`` — native fast path.
+
+    Bit-identical to the NumPy fallback (sorted unique values, int64 inverse).
+    This is the hot dedup/relabel step of minibatch neighborhood sampling.
+    When the value range is known (``n_max``: node ids in ``[0, n_max)``) a
+    dense rank table replaces the sort — pass a zeroed int32 ``scratch`` of
+    size ``n_max`` to reuse the table across calls (it is returned zeroed).
+    Without ``n_max`` a hash-based kernel is used (only the unique keys get
+    sorted). Both native kernels release the GIL, so prefetch-threaded
+    sampling overlaps with device compute.
+    """
+    v = np.ascontiguousarray(vals, np.int64)
+    lib = _load()
+    if lib is None or v.size == 0:
+        uniq, inv = np.unique(v, return_inverse=True)
+        return uniq, inv.astype(np.int64, copy=False)
+    uniq = np.empty(v.size, np.int64)
+    inv = np.empty(v.size, np.int64)
+    if n_max is not None:
+        if scratch is None:
+            scratch = np.zeros(n_max, np.int32)
+        n_uniq = lib.gk_unique_inverse_bounded(
+            _ptr(v, _i64p), v.size, n_max, _ptr(scratch, _i32p),
+            _ptr(uniq, _i64p), _ptr(inv, _i64p),
+        )
+    else:
+        n_uniq = lib.gk_unique_inverse(
+            _ptr(v, _i64p), v.size, _ptr(uniq, _i64p), _ptr(inv, _i64p)
+        )
+    return uniq[:n_uniq], inv
 
 
 def parse_edge_list(path: str) -> Optional[Tuple[np.ndarray, np.ndarray]]:

@@ -87,6 +87,20 @@ def test_ell_via_native_matches_spmm():
     )
 
 
+def test_unique_inverse_matches_numpy():
+    """Hash, bounded, and fallback paths all reproduce np.unique exactly."""
+    rng = np.random.default_rng(4)
+    scratch = np.zeros(500, np.int32)
+    for n in [0, 1, 9, 1000, 20000]:
+        v = rng.integers(0, 500, n).astype(np.int64)
+        expect_u, expect_i = np.unique(v, return_inverse=True)
+        for kwargs in [{}, {"n_max": 500}, {"n_max": 500, "scratch": scratch}]:
+            u, i = native.unique_inverse(v, **kwargs)
+            np.testing.assert_array_equal(u, expect_u)
+            np.testing.assert_array_equal(i, expect_i)
+        assert not scratch.any()  # returned zeroed for reuse
+
+
 def test_label_propagation_finds_planted_communities():
     """Native LP (and the NumPy fallback) recovers SBM blocks."""
     import numpy as np

@@ -53,6 +53,72 @@ def test_sampled_shapes_and_padding():
     assert batch.blocks[0].cols.max() < batch.input_nodes.size
 
 
+def test_prefetch_iterator_matches_serial():
+    """iter_sampled_batches (threaded) yields exactly the serial stream."""
+    import scipy.sparse as sp
+
+    from pygcn_tpu.ops.sampling import iter_sampled_batches
+
+    m = sp.random(200, 200, density=0.05, random_state=2, format="coo")
+    a = sym_normalize(symmetrize_max(m))
+    rng = np.random.default_rng(0)
+    seed_batches = [rng.integers(0, 200, 16) for _ in range(6)]
+
+    serial_sampler = NeighborSampler(a, fanouts=[4, 4], seed=7)
+    serial = [serial_sampler.sample(s) for s in seed_batches]
+    threaded = list(iter_sampled_batches(
+        NeighborSampler(a, fanouts=[4, 4], seed=7), seed_batches, prefetch=2
+    ))
+    assert len(threaded) == len(serial)
+    for (seeds, got), want, s_in in zip(threaded, serial, seed_batches):
+        np.testing.assert_array_equal(seeds, s_in)
+        np.testing.assert_array_equal(got.input_nodes, want.input_nodes)
+        for bg, bw in zip(got.blocks, want.blocks):
+            np.testing.assert_array_equal(np.asarray(bg.cols), np.asarray(bw.cols))
+            np.testing.assert_array_equal(np.asarray(bg.weights), np.asarray(bw.weights))
+            np.testing.assert_array_equal(np.asarray(bg.self_idx), np.asarray(bw.self_idx))
+
+    # prefetch=0 degrades to the serial loop
+    plain = list(iter_sampled_batches(
+        NeighborSampler(a, fanouts=[4, 4], seed=7), seed_batches, prefetch=0
+    ))
+    for (_, got), want in zip(plain, serial):
+        np.testing.assert_array_equal(got.input_nodes, want.input_nodes)
+
+
+def test_padded_batch_matches_exact():
+    """pad=True (pow2 static shapes) changes shapes, not results."""
+    import scipy.sparse as sp
+
+    m = sp.random(300, 300, density=0.03, random_state=3, format="coo")
+    a = sym_normalize(symmetrize_max(m))
+    rng = np.random.default_rng(1)
+    h = jnp.asarray(rng.normal(size=(300, 8)).astype(np.float32))
+    seeds = rng.integers(0, 300, 17)
+
+    params = [
+        {"w": tinit.graphconv_weight(jax.random.key(0), 8, 6), "b": jnp.zeros(6)},
+        {"w": tinit.graphconv_weight(jax.random.key(1), 6, 4), "b": jnp.zeros(4)},
+    ]
+    exact = NeighborSampler(a, fanouts=[4, 4], seed=9).sample(seeds)
+    padded = NeighborSampler(a, fanouts=[4, 4], seed=9).sample(seeds, pad=True)
+
+    # padded sizes are powers of two and cover the exact ones
+    assert padded.input_nodes.size >= exact.input_nodes.size
+    assert padded.input_nodes.size & (padded.input_nodes.size - 1) == 0
+    assert padded.blocks[-1].cols.shape[0] == seeds.size  # outermost static
+
+    out_exact = sampled_gcn_forward(
+        params, exact, h[jnp.asarray(exact.input_nodes)]
+    )
+    out_padded = sampled_gcn_forward(
+        params, padded, h[jnp.asarray(padded.input_nodes)]
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_padded), np.asarray(out_exact), rtol=1e-5, atol=1e-5
+    )
+
+
 def test_sampled_training_reaches_accuracy():
     """2-layer sampled GCN trains to reasonable accuracy on SBM data."""
     data = sbm_classification(n=300, n_classes=3, feat_dim=32, seed=0)
