@@ -80,6 +80,19 @@ def test_train_evaluator_and_generator(gt_csv, tmp_path):
     assert len(results) >= 1
 
 
+def test_train_evaluator_bf16(gt_csv, tmp_path):
+    """--bf16 (bf16 compute, f32 master params) trains to a finite loss."""
+    from pygcn_tpu.apps import train_evaluator
+
+    out_dir = str(tmp_path / "eval_bf16")
+    test_loss, _ = train_evaluator.main([
+        "--vac_result_path", gt_csv, "--out_dir", out_dir,
+        "--epochs", "3", "--n_cbgs", "32", "--hours", "48", "--NN", "4",
+        "--batch_size", "4", "--bf16",
+    ])
+    assert np.isfinite(test_loss)
+
+
 def test_train_evaluator_resume(gt_csv, tmp_path):
     from pygcn_tpu.apps import train_evaluator
 
