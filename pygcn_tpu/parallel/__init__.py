@@ -2,4 +2,24 @@ from pygcn_tpu.parallel.mesh import make_mesh
 from pygcn_tpu.parallel.partition import DistPlan, build_dist_plan
 from pygcn_tpu.parallel.dist_spmm import make_dist_spmm
 
-__all__ = ["make_mesh", "DistPlan", "build_dist_plan", "make_dist_spmm"]
+__all__ = [
+    "make_mesh",
+    "DistPlan",
+    "build_dist_plan",
+    "make_dist_spmm",
+    "DistGCN",
+    "DistGCNOverMLP",
+]
+
+
+def __getattr__(name):
+    # lazy: dist_gcn / dist_evaluator pull in optax and the nn stack
+    if name == "DistGCN":
+        from pygcn_tpu.parallel.dist_gcn import DistGCN
+
+        return DistGCN
+    if name == "DistGCNOverMLP":
+        from pygcn_tpu.parallel.dist_evaluator import DistGCNOverMLP
+
+        return DistGCNOverMLP
+    raise AttributeError(name)
