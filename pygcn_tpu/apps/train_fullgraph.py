@@ -35,6 +35,14 @@ def main(argv=None):
     ap.add_argument("--remat", action="store_true",
                     help="rematerialize layer activations in the backward pass "
                          "(trade FLOPs for HBM on deep/wide configs)")
+    ap.add_argument("--npz", default=None,
+                    help="train on a real dataset in the .npz interchange "
+                         "format (graph.datasets.load_npz_dataset) instead of "
+                         "the synthetic graph")
+    ap.add_argument("--content", default=None,
+                    help="Planetoid .content file (with --cites: real Cora-"
+                         "format data)")
+    ap.add_argument("--cites", default=None, help="Planetoid .cites file")
     args = ap.parse_args(argv)
 
     from pygcn_tpu.apps.common import set_process_title
@@ -55,14 +63,32 @@ def main(argv=None):
 
     rng = np.random.default_rng(args.seed)
     t0 = time.time()
-    adj = sym_normalize(symmetrize_max(chung_lu_graph(args.n_nodes, args.avg_degree, seed=args.seed)))
-    graph = Graph.from_scipy(adj, is_symmetric=True, build_dense=False, build_bcsr=False)
+    data = None
+    if args.npz:
+        from pygcn_tpu.graph.datasets import load_npz_dataset
+
+        data = load_npz_dataset(args.npz, build_dense=False, build_bcsr=False)
+    elif args.content and args.cites:
+        from pygcn_tpu.graph.datasets import load_planetoid
+
+        data = load_planetoid(args.content, args.cites,
+                              build_dense=False, build_bcsr=False)
+    if data is not None:
+        graph = data.graph
+        x = jnp.asarray(data.features)
+        labels = jnp.asarray(data.labels)
+        mask = jnp.asarray(
+            np.zeros(graph.n_nodes, np.float32)
+        ).at[jnp.asarray(data.idx_train)].set(1.0)
+        args.feat_dim, args.n_classes = x.shape[1], data.n_classes
+    else:
+        adj = sym_normalize(symmetrize_max(chung_lu_graph(args.n_nodes, args.avg_degree, seed=args.seed)))
+        graph = Graph.from_scipy(adj, is_symmetric=True, build_dense=False, build_bcsr=False)
+        x = jnp.asarray(rng.normal(size=(graph.n_nodes, args.feat_dim)).astype(np.float32))
+        labels = jnp.asarray(rng.integers(0, args.n_classes, graph.n_nodes).astype(np.int32))
+        mask = jnp.asarray((rng.uniform(size=graph.n_nodes) < 0.1).astype(np.float32))
     print(f"graph: {graph.n_nodes} nodes, {graph.n_edges} edges "
           f"(built in {time.time() - t0:.1f}s)")
-
-    x = jnp.asarray(rng.normal(size=(graph.n_nodes, args.feat_dim)).astype(np.float32))
-    labels = jnp.asarray(rng.integers(0, args.n_classes, graph.n_nodes).astype(np.int32))
-    mask = jnp.asarray((rng.uniform(size=graph.n_nodes) < 0.1).astype(np.float32))
 
     dims = [args.feat_dim] + [args.hidden] * (args.layers - 1) + [args.n_classes]
     key = jax.random.key(args.seed)
@@ -110,6 +136,11 @@ def main(argv=None):
     spmm_equiv = args.layers * 3  # fwd + 2 per layer in bwd (dX via A^T, recompute)
     print(f"epoch time: {dt * 1e3:.1f} ms  loss={loss_val:.4f}  "
           f"~{graph.n_edges * spmm_equiv / dt / 1e6:.0f} Medge-traversals/s")
+    if data is not None:
+        preds = np.asarray(forward(params, x)).argmax(1)
+        for split, idx in [("val", data.idx_val), ("test", data.idx_test)]:
+            acc = float((preds[idx] == np.asarray(data.labels)[idx]).mean())
+            print(f"{split} accuracy: {acc:.4f}")
     return dt
 
 

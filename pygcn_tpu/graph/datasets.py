@@ -53,19 +53,25 @@ def _finalize(
     idx_test,
     *,
     adj_norm: str = "sym",
+    normalize_features: bool = True,
     **graph_kwargs,
 ) -> NodeClassificationData:
-    adj = symmetrize_max(adj)
     if adj_norm == "sym":
-        a = sym_normalize(adj)
+        a = sym_normalize(symmetrize_max(adj))
     elif adj_norm == "row":
+        adj = symmetrize_max(adj)
         a = row_normalize(adj + sp.eye(adj.shape[0], dtype=adj.dtype))
+    elif adj_norm == "none":  # adjacency already normalized (e.g. npz dumps)
+        a = adj.tocoo()
     else:
         raise ValueError(f"unknown adj_norm {adj_norm!r}")
+    # "none" may carry an asymmetric matrix → build transpose layouts
     graph = Graph.from_scipy(a, is_symmetric=(adj_norm == "sym"), **graph_kwargs)
+    if normalize_features:
+        features = row_normalize_dense(features)
     return NodeClassificationData(
         graph=graph,
-        features=row_normalize_dense(features).astype(np.float32),
+        features=features.astype(np.float32),
         labels=labels.astype(np.int32),
         idx_train=np.asarray(idx_train, np.int32),
         idx_val=np.asarray(idx_val, np.int32),
@@ -107,6 +113,68 @@ def load_planetoid(
     return _finalize(
         adj, features, labels, idx_train, idx_val, idx_test,
         adj_norm=adj_norm, **graph_kwargs,
+    )
+
+
+def load_npz_dataset(
+    path: str,
+    *,
+    adj_norm: str = "sym",
+    normalize_features: bool = True,
+    **graph_kwargs,
+) -> NodeClassificationData:
+    """Load a node-classification dataset from a single ``.npz`` file.
+
+    The interchange format for real datasets (ogbn-arxiv, Reddit, exported
+    Planetoid) in a no-network environment — dump once with
+    ``save_npz_dataset`` (or any script emitting the same keys) and train from
+    the file. Required keys: ``edge_index`` [2, E] int (senders, receivers),
+    ``features`` [N, F], ``labels`` [N]; optional ``edge_weight`` [E],
+    ``idx_train``/``idx_val``/``idx_test`` (default 140/300/1000-style
+    Planetoid splits scaled to N). No reference counterpart (its loaders are
+    CSV/pickle-bound, ``pygcn/utils.py:260-341``).
+    """
+    with np.load(path) as z:
+        edge_index = np.asarray(z["edge_index"], np.int64)
+        features = np.asarray(z["features"], np.float32)
+        labels = np.asarray(z["labels"], np.int32)
+        n = features.shape[0]
+        weight = (
+            np.asarray(z["edge_weight"], np.float32)
+            if "edge_weight" in z
+            else np.ones(edge_index.shape[1], np.float32)
+        )
+        if "idx_train" in z:
+            idx_train = np.asarray(z["idx_train"], np.int64)
+            idx_val = np.asarray(z["idx_val"], np.int64)
+            idx_test = np.asarray(z["idx_test"], np.int64)
+        else:
+            n_train = min(140, n // 5)
+            n_val = min(300, n // 5)
+            n_test = min(1000, n - n_train - n_val)
+            idx_train = np.arange(n_train)
+            idx_val = np.arange(n_train, n_train + n_val)
+            idx_test = np.arange(n - n_test, n)
+    adj = sp.coo_matrix((weight, (edge_index[0], edge_index[1])), shape=(n, n))
+    return _finalize(
+        adj, features, labels, idx_train, idx_val, idx_test,
+        adj_norm=adj_norm, normalize_features=normalize_features,
+        **graph_kwargs,
+    )
+
+
+def save_npz_dataset(path: str, data: NodeClassificationData) -> None:
+    """Write ``load_npz_dataset``'s interchange format (COO edges + splits)."""
+    coo = data.graph.to_scipy()
+    np.savez_compressed(
+        path,
+        edge_index=np.vstack([coo.row, coo.col]).astype(np.int64),
+        edge_weight=coo.data.astype(np.float32),
+        features=data.features,
+        labels=data.labels,
+        idx_train=data.idx_train,
+        idx_val=data.idx_val,
+        idx_test=data.idx_test,
     )
 
 

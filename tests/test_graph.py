@@ -68,6 +68,38 @@ def test_transpose():
     assert np.allclose(gt.to_scipy().toarray(), m.T.toarray())
 
 
+def test_npz_dataset_roundtrip(tmp_path):
+    """save_npz_dataset → load_npz_dataset(adj_norm='none') is lossless."""
+    from pygcn_tpu.graph.datasets import (
+        load_npz_dataset,
+        save_npz_dataset,
+        sbm_classification,
+    )
+
+    data = sbm_classification(n=90, n_classes=3, feat_dim=8, seed=5,
+                              build_dense=False, build_bcsr=False)
+    path = str(tmp_path / "ds.npz")
+    save_npz_dataset(path, data)
+    # the dump carries the already-normalized adjacency and features
+    back = load_npz_dataset(path, adj_norm="none", normalize_features=False,
+                            build_dense=False, build_bcsr=False)
+    np.testing.assert_allclose(
+        back.graph.to_scipy().toarray(), data.graph.to_scipy().toarray(),
+        rtol=1e-6,
+    )
+    np.testing.assert_allclose(back.features, data.features, rtol=1e-6)
+    np.testing.assert_array_equal(back.labels, data.labels)
+    np.testing.assert_array_equal(back.idx_test, data.idx_test)
+    assert back.n_classes == data.n_classes
+
+    # train_fullgraph consumes the file end-to-end
+    from pygcn_tpu.apps import train_fullgraph
+
+    dt = train_fullgraph.main(["--npz", path, "--epochs", "3",
+                               "--hidden", "8", "--layers", "2"])
+    assert dt > 0
+
+
 def test_symmetrize_max():
     m = random_coo(60, 300)
     s = symmetrize_max(m)
