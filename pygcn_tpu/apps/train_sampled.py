@@ -30,6 +30,9 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--prefetch", type=int, default=2,
                     help="host-sampling lookahead depth (0 = serial)")
+    ap.add_argument("--npz", default=None,
+                    help="train on a real dataset in the .npz interchange "
+                         "format instead of synthetic SBM data")
     args = ap.parse_args(argv)
 
     from pygcn_tpu.apps.common import set_process_title
@@ -51,11 +54,18 @@ def main(argv=None):
     )
     from pygcn_tpu.train import adam_l2
 
-    data = sbm_classification(
-        n=args.n_nodes, n_classes=args.n_classes, feat_dim=args.feat_dim,
-        avg_degree=10.0, seed=args.seed, train_per_class=args.n_nodes // (4 * args.n_classes),
-        n_val=1000, n_test=2000, build_dense=False, build_bcsr=False, build_ell=False,
-    )
+    if args.npz:
+        from pygcn_tpu.graph.datasets import load_npz_dataset
+
+        data = load_npz_dataset(args.npz, build_dense=False, build_bcsr=False,
+                                build_ell=False)
+        args.feat_dim = data.features.shape[1]
+    else:
+        data = sbm_classification(
+            n=args.n_nodes, n_classes=args.n_classes, feat_dim=args.feat_dim,
+            avg_degree=10.0, seed=args.seed, train_per_class=args.n_nodes // (4 * args.n_classes),
+            n_val=1000, n_test=2000, build_dense=False, build_bcsr=False, build_ell=False,
+        )
     a = data.graph.to_scipy().tocsr()
     sampler = NeighborSampler(a, fanouts=args.fanouts, mode="gcn", seed=args.seed)
 

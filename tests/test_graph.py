@@ -76,7 +76,8 @@ def test_npz_dataset_roundtrip(tmp_path):
         sbm_classification,
     )
 
-    data = sbm_classification(n=90, n_classes=3, feat_dim=8, seed=5,
+    data = sbm_classification(n=200, n_classes=3, feat_dim=8, seed=5,
+                              n_val=40, n_test=60,
                               build_dense=False, build_bcsr=False)
     path = str(tmp_path / "ds.npz")
     save_npz_dataset(path, data)
@@ -92,12 +93,16 @@ def test_npz_dataset_roundtrip(tmp_path):
     np.testing.assert_array_equal(back.idx_test, data.idx_test)
     assert back.n_classes == data.n_classes
 
-    # train_fullgraph consumes the file end-to-end
-    from pygcn_tpu.apps import train_fullgraph
+    # train_fullgraph and train_sampled consume the file end-to-end
+    from pygcn_tpu.apps import train_fullgraph, train_sampled
 
     dt = train_fullgraph.main(["--npz", path, "--epochs", "3",
                                "--hidden", "8", "--layers", "2"])
     assert dt > 0
+    acc = train_sampled.main(["--npz", path, "--epochs", "2",
+                              "--batch_size", "16", "--fanouts", "4", "4",
+                              "--hidden", "8"])
+    assert 0.0 <= acc <= 1.0
 
 
 def test_symmetrize_max():
