@@ -54,6 +54,7 @@ def _finalize(
     *,
     adj_norm: str = "sym",
     normalize_features: bool = True,
+    is_symmetric: Optional[bool] = None,
     **graph_kwargs,
 ) -> NodeClassificationData:
     if adj_norm == "sym":
@@ -65,8 +66,11 @@ def _finalize(
         a = adj.tocoo()
     else:
         raise ValueError(f"unknown adj_norm {adj_norm!r}")
-    # "none" may carry an asymmetric matrix → build transpose layouts
-    graph = Graph.from_scipy(a, is_symmetric=(adj_norm == "sym"), **graph_kwargs)
+    # "none" may carry an asymmetric matrix → build transpose layouts unless
+    # the caller vouches for symmetry (e.g. the npz dump's marker)
+    if is_symmetric is None:
+        is_symmetric = adj_norm == "sym"
+    graph = Graph.from_scipy(a, is_symmetric=is_symmetric, **graph_kwargs)
     if normalize_features:
         features = row_normalize_dense(features)
     return NodeClassificationData(
@@ -119,8 +123,8 @@ def load_planetoid(
 def load_npz_dataset(
     path: str,
     *,
-    adj_norm: str = "sym",
-    normalize_features: bool = True,
+    adj_norm: str = "auto",
+    normalize_features: Optional[bool] = None,
     **graph_kwargs,
 ) -> NodeClassificationData:
     """Load a node-classification dataset from a single ``.npz`` file.
@@ -128,11 +132,20 @@ def load_npz_dataset(
     The interchange format for real datasets (ogbn-arxiv, Reddit, exported
     Planetoid) in a no-network environment — dump once with
     ``save_npz_dataset`` (or any script emitting the same keys) and train from
-    the file. Required keys: ``edge_index`` [2, E] int (senders, receivers),
-    ``features`` [N, F], ``labels`` [N]; optional ``edge_weight`` [E],
-    ``idx_train``/``idx_val``/``idx_test`` (default 140/300/1000-style
-    Planetoid splits scaled to N). No reference counterpart (its loaders are
-    CSV/pickle-bound, ``pygcn/utils.py:260-341``).
+    the file. Required keys: ``edge_index`` [2, E] int — **rows are the
+    (row, col) of the aggregation operator A, i.e. edge_index[0] is the
+    RECEIVER and edge_index[1] the sender** (``A @ x`` aggregates senders
+    into receivers; matches ``Graph.to_scipy``) — ``features`` [N, F],
+    ``labels`` [N]; optional ``edge_weight`` [E], ``idx_train``/``idx_val``/
+    ``idx_test`` (default Planetoid-style splits scaled to N), and the
+    ``save_npz_dataset`` markers ``normalized`` / ``is_symmetric``.
+
+    ``adj_norm='auto'`` (default) honours the ``normalized`` marker: dumps
+    written by ``save_npz_dataset`` carry an already-normalized operator and
+    load verbatim (no double ``+I``/rescale); unmarked files get ``'sym'``
+    normalization. ``normalize_features=None`` follows the same marker. No
+    reference counterpart (its loaders are CSV/pickle-bound,
+    ``pygcn/utils.py:260-341``).
     """
     with np.load(path) as z:
         edge_index = np.asarray(z["edge_index"], np.int64)
@@ -144,6 +157,8 @@ def load_npz_dataset(
             if "edge_weight" in z
             else np.ones(edge_index.shape[1], np.float32)
         )
+        pre_normalized = bool(z["normalized"]) if "normalized" in z else False
+        is_symmetric = bool(z["is_symmetric"]) if "is_symmetric" in z else False
         if "idx_train" in z:
             idx_train = np.asarray(z["idx_train"], np.int64)
             idx_val = np.asarray(z["idx_val"], np.int64)
@@ -155,17 +170,30 @@ def load_npz_dataset(
             idx_train = np.arange(n_train)
             idx_val = np.arange(n_train, n_train + n_val)
             idx_test = np.arange(n - n_test, n)
+    if adj_norm == "auto":
+        adj_norm = "none" if pre_normalized else "sym"
+    if normalize_features is None:
+        normalize_features = not pre_normalized
     adj = sp.coo_matrix((weight, (edge_index[0], edge_index[1])), shape=(n, n))
     return _finalize(
         adj, features, labels, idx_train, idx_val, idx_test,
         adj_norm=adj_norm, normalize_features=normalize_features,
+        is_symmetric=(True if (adj_norm == "none" and is_symmetric) else None),
         **graph_kwargs,
     )
 
 
 def save_npz_dataset(path: str, data: NodeClassificationData) -> None:
-    """Write ``load_npz_dataset``'s interchange format (COO edges + splits)."""
+    """Write ``load_npz_dataset``'s interchange format (COO edges + splits).
+
+    The stored ``edge_index`` is the (row=receiver, col=sender) of the
+    already-normalized aggregation operator; the ``normalized`` marker makes
+    ``load_npz_dataset(adj_norm='auto')`` skip re-normalization, and
+    ``is_symmetric`` lets symmetric dumps skip transpose-layout builds.
+    """
     coo = data.graph.to_scipy()
+    csr = coo.tocsr()
+    is_symmetric = (csr != csr.T).nnz == 0
     np.savez_compressed(
         path,
         edge_index=np.vstack([coo.row, coo.col]).astype(np.int64),
@@ -175,6 +203,8 @@ def save_npz_dataset(path: str, data: NodeClassificationData) -> None:
         idx_train=data.idx_train,
         idx_val=data.idx_val,
         idx_test=data.idx_test,
+        normalized=np.bool_(True),
+        is_symmetric=np.bool_(is_symmetric),
     )
 
 

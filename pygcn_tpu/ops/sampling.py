@@ -200,10 +200,13 @@ def iter_sampled_batches(
 
     q: "queue.Queue" = queue.Queue(maxsize=prefetch)
     _END = object()
+    stop = threading.Event()
 
     def _produce():
         try:
             for seeds in seed_batches:
+                if stop.is_set():
+                    return
                 q.put((seeds, sampler.sample(seeds, pad=pad)))
         except BaseException as e:  # propagate into the consumer
             q.put(e)
@@ -221,12 +224,15 @@ def iter_sampled_batches(
                 raise item
             yield item
     finally:
-        # unblock the producer if the consumer stops early
+        # early consumer exit: tell the producer to stop (it checks between
+        # batches, so this blocks at most one sample() call) and unblock any
+        # q.put it is sitting in
+        stop.set()
         while t.is_alive():
             try:
                 q.get_nowait()
             except queue.Empty:
-                t.join(timeout=0.1)
+                t.join(timeout=0.05)
 
 
 def sampled_gcn_forward(params_list, batch: SampledBatch, x_input: jax.Array,

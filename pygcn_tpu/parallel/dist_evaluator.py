@@ -32,6 +32,7 @@ import numpy as np
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from pygcn_tpu.nn.layers import masked_mean_pool
 from pygcn_tpu.nn.models import GCNOverMLP
 from pygcn_tpu.parallel.dist_spmm import make_dist_spmm, pad_node_features
 from pygcn_tpu.parallel.partition import DistPlan
@@ -84,7 +85,7 @@ class DistGCNOverMLP:
         self.dim_touched = dim_touched
         self.axis_graph = axis_graph
         self.axis_data = axis_data
-        self.spmm = make_dist_spmm(mesh, plan, axis_graph)
+        self.spmm = make_dist_spmm(mesh, plan, axis_graph, col_axis=axis_data)
         self._ref = GCNOverMLP(
             gcn_nfeat=gcn_nfeat, gcn_nhid=gcn_nhid, gcn_nclass=gcn_nclass,
             dim_touched=dim_touched, linear_nin=linear_nin,
@@ -125,13 +126,9 @@ class DistGCNOverMLP:
         h = jax.nn.relu(self._wide_spmm(jnp.dot(h, gp["gc3"]["w"])) + gp["gc3"]["b"])
 
         h = jnp.concatenate([h, x[:, :, self.dim_touched :]], axis=2)
-        # masked mean-pool (reference PoolLayer): padded rows have flag 0
-        flag = h[:, :, -1]
-        masked = h[:, :, :-1] * flag[:, :, None]
-        count = jnp.maximum(
-            jnp.count_nonzero(flag, axis=1).astype(h.dtype), 1.0
-        )
-        pooled = masked.sum(axis=1) / count[:, None]
+        # reference PoolLayer; padded rows have flag 0, so the shared
+        # single-device implementation applies unchanged
+        pooled = jax.vmap(masked_mean_pool)(h)
 
         mp = params["mlp"]
         z = jax.nn.relu(jnp.dot(pooled, mp["linear1"]["w"]) + mp["linear1"]["b"])

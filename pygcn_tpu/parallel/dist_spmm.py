@@ -25,8 +25,17 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from pygcn_tpu.parallel.partition import DistPlan
 
 
-def make_dist_spmm(mesh: Mesh, plan: DistPlan, axis: str = "graph"):
-    """Build the shard_mapped SpMM. ``x``: [P·S, F] sharded P(axis) → same."""
+def make_dist_spmm(
+    mesh: Mesh, plan: DistPlan, axis: str = "graph", col_axis: str | None = None
+):
+    """Build the shard_mapped SpMM. ``x``: [P·S, F] sharded P(axis) → same.
+
+    ``col_axis`` additionally shards the feature *columns* over a second mesh
+    axis (the 2-D graph×data composition: every per-device op here is
+    column-wise independent, so a data-sharded wide batch stays put — no
+    all-gather over the data axis, the halo all_to_all moves only the local
+    column shard).
+    """
 
     use_ell = plan.loc_ell is not None and plan.rem_ell is not None
 
@@ -90,8 +99,8 @@ def make_dist_spmm(mesh: Mesh, plan: DistPlan, axis: str = "graph"):
     sharded = shard_map(
         local_fn,
         mesh=mesh,
-        in_specs=(P(axis, None), edge_spec, rem_spec, P(axis, None, None)),
-        out_specs=P(axis, None),
+        in_specs=(P(axis, col_axis), edge_spec, rem_spec, P(axis, None, None)),
+        out_specs=P(axis, col_axis),
     )
 
     def f(x: jax.Array) -> jax.Array:

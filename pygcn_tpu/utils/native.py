@@ -226,6 +226,13 @@ def unique_inverse(
     uniq = np.empty(v.size, np.int64)
     inv = np.empty(v.size, np.int64)
     if n_max is not None:
+        # the dense-rank kernel indexes scratch by value with no bounds check
+        # (np.unique would accept, e.g., negative ids silently)
+        lo, hi = int(v.min()), int(v.max())
+        if lo < 0 or hi >= n_max:
+            raise ValueError(
+                f"unique_inverse: values in [{lo}, {hi}] outside [0, {n_max})"
+            )
         if scratch is None:
             scratch = np.zeros(n_max, np.int32)
         n_uniq = lib.gk_unique_inverse_bounded(

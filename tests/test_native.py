@@ -99,6 +99,12 @@ def test_unique_inverse_matches_numpy():
             np.testing.assert_array_equal(u, expect_u)
             np.testing.assert_array_equal(i, expect_i)
         assert not scratch.any()  # returned zeroed for reuse
+    if native.available():
+        # the dense-rank kernel must reject out-of-range values (np.unique
+        # would accept them; the kernel would index scratch out of bounds)
+        for bad in ([-1, 3], [3, 500]):
+            with pytest.raises(ValueError):
+                native.unique_inverse(np.array(bad, np.int64), 500)
 
 
 def test_label_propagation_finds_planted_communities():
