@@ -40,6 +40,48 @@ def test_dist_gcn_trains_and_matches_accuracy():
     assert acc > 0.75, acc
 
 
+def test_dist_checkpoint_roundtrip(tmp_path):
+    """Sharded training state checkpoints to host .npz and reshard-restores."""
+    from pygcn_tpu.train import get_checkpoint_state, save_checkpoint_state
+
+    data = sbm_classification(
+        n=120, n_classes=3, feat_dim=12, seed=4,
+        build_dense=False, build_bcsr=False, build_ell=False,
+    )
+    mesh = make_mesh([4], ["graph"])
+    plan = build_dist_plan(data.graph, 4)
+    model = DistGCN(mesh, plan, [12, 8, 3])
+    tx = adam_l2(0.01)
+    params = model.shard_params(model.init(jax.random.key(0)))
+    opt_state = tx.init(params)
+    step = make_dist_classifier_step(model, tx)
+
+    npad = plan.n_nodes_padded
+    x = model.shard_x(data.features)
+    labels = jnp.zeros(npad, jnp.int32).at[: data.graph.n_nodes].set(
+        jnp.asarray(data.labels))
+    mask = jnp.pad(bool_mask(data.idx_train, data.graph.n_nodes),
+                   (0, npad - data.graph.n_nodes))
+    for _ in range(3):
+        params, opt_state, loss = step(params, opt_state, x, labels, mask)
+
+    path = str(tmp_path / "dist_ckpt.pkl")
+    save_checkpoint_state(params, 3, opt_state, {"lr": 0.01}, path)
+    r_params, epoch, r_opt, sched = get_checkpoint_state(path)
+    assert epoch == 3 and sched == {"lr": 0.01}
+
+    # restored (host) state reshard-resumes and matches the live state's step
+    r_params = model.shard_params(r_params)
+    r_opt = jax.device_put(r_opt, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec()))
+    p1, _, l1 = step(params, opt_state, x, labels, mask)
+    p2, _, l2 = step(r_params, r_opt, x, labels, mask)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6),
+        p1, p2,
+    )
+
+
 def test_dist_evaluator_2d_mesh_matches_single_device():
     """GCNOverMLP on a 2-D graph×data mesh == the single-device model."""
     import scipy.sparse as sp
