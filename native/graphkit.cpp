@@ -241,6 +241,46 @@ int64_t gk_unique_inverse_bounded(const int64_t* vals, int64_t n,
   return n_uniq;
 }
 
+// Fixed-fanout neighbor sampling over CSR: one fused pass doing the RNG
+// picks, the CSR column/value gathers, and the aggregation-weight math that
+// ops/sampling.py::NeighborSampler._sample_layer otherwise runs as four
+// separate NumPy passes (the hot host-side cost of minibatch sampled
+// training once dedup went native; the reference trains full-batch only).
+// RNG is counter-based splitmix64: pick (i,j) = mix64(base + i*k + j) % deg,
+// so results are deterministic in `base` alone, order-independent, and
+// bit-identical to the NumPy fallback. mode 0 = 'gcn' (w * deg/k, an
+// unbiased estimator of the A_hat row sum), mode 1 = 'mean' (1/k).
+// Zero-degree rows emit the node itself with weight 0.
+void gk_sample_layer(const int64_t* indptr, const int64_t* indices,
+                     const float* data, const int64_t* out_nodes, int64_t m,
+                     int64_t k, uint64_t base, int32_t mode,
+                     int64_t* cols_out /* [m*k] */,
+                     float* weights_out /* [m*k] */) {
+  for (int64_t i = 0; i < m; ++i) {
+    const int64_t node = out_nodes[i];
+    const int64_t lo = indptr[node];
+    const int64_t deg = indptr[node + 1] - lo;
+    int64_t* cols = cols_out + i * k;
+    float* wts = weights_out + i * k;
+    if (deg == 0) {
+      for (int64_t j = 0; j < k; ++j) {
+        cols[j] = node;
+        wts[j] = 0.0f;
+      }
+      continue;
+    }
+    const float scale =
+        mode == 0 ? float(deg) / float(k) : 1.0f / float(k);
+    const uint64_t row_base = base + uint64_t(i) * uint64_t(k);
+    for (int64_t j = 0; j < k; ++j) {
+      const uint64_t h = gk_mix64(row_base + uint64_t(j));
+      const int64_t pos = lo + int64_t(h % uint64_t(deg));
+      cols[j] = indices[pos];
+      wts[j] = mode == 0 ? data[pos] * scale : scale;
+    }
+  }
+}
+
 // Parse a whitespace-separated two-column integer edge list (e.g. Planetoid
 // .cites). Returns the number of edges parsed, or -1 on open failure.
 // Caller provides capacity; pass cap=0 to just count.

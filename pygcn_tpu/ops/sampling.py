@@ -76,33 +76,31 @@ class NeighborSampler:
         seed: int = 0,
     ):
         csr = adj.tocsr()
-        self.indptr = csr.indptr
-        self.indices = csr.indices
+        self.indptr = csr.indptr.astype(np.int64, copy=False)
+        self.indices = csr.indices.astype(np.int64, copy=False)
         self.data = csr.data.astype(np.float32)
         self.n = csr.shape[0]
         self.fanouts = list(fanouts)
         self.mode = mode
-        self.rng = np.random.default_rng(seed)
+        self.seed = int(seed)
+        self._n_draws = 0  # per-layer-call counter; see _sample_layer
         # dense rank table for the native bounded unique/relabel kernel;
         # allocated lazily, reused (and re-zeroed) across sample() calls
         self._uniq_scratch: np.ndarray | None = None
 
     def _sample_layer(self, out_nodes: np.ndarray, k: int):
-        m = out_nodes.size
-        deg = self.indptr[out_nodes + 1] - self.indptr[out_nodes]
-        picks = self.rng.integers(0, np.maximum(deg, 1)[:, None], (m, k))
-        flat = self.indptr[out_nodes][:, None] + picks  # [m, k] positions
-        cols_global = self.indices[flat]
-        w = self.data[flat]
-        has_edges = deg > 0
-        if self.mode == "gcn":
-            # E[sum_k w_k * (deg/k)] = row sum of A_hat restricted to neighbors
-            weights = w * (deg[:, None] / k)
-        else:
-            weights = np.full((m, k), 1.0 / k, np.float32)
-        weights = np.where(has_edges[:, None], weights, 0.0).astype(np.float32)
-        cols_global = np.where(has_edges[:, None], cols_global, out_nodes[:, None])
-        return cols_global, weights
+        # Counter-based splitmix64 draws (pick (i,j) = mix64(base + i*k + j)
+        # % deg): deterministic in (seed, call index), bit-identical between
+        # the fused native kernel and the NumPy fallback, and GIL-releasing
+        # when native, so prefetch-threaded sampling truly overlaps.
+        from pygcn_tpu.utils.native import _mix64, sample_layer
+
+        base = _mix64(((self.seed & 0xFFFFFFFF) << 32) ^ self._n_draws)
+        self._n_draws += 1
+        return sample_layer(
+            self.indptr, self.indices, self.data, out_nodes, k, base,
+            mode=self.mode,
+        )
 
     def sample(self, seeds: np.ndarray, pad: bool = False) -> SampledBatch:
         """Sample a layered minibatch.

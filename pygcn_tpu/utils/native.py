@@ -62,6 +62,10 @@ def _load() -> Optional[ctypes.CDLL]:
         _i64p, ctypes.c_int64, ctypes.c_int64, _i32p, _i64p, _i64p,
     ]
     lib.gk_unique_inverse_bounded.restype = ctypes.c_int64
+    lib.gk_sample_layer.argtypes = [
+        _i64p, _i64p, _f32p, _i64p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_uint64, ctypes.c_int32, _i64p, _f32p,
+    ]
     _lib = lib
     return _lib
 
@@ -244,6 +248,73 @@ def unique_inverse(
             _ptr(v, _i64p), v.size, _ptr(uniq, _i64p), _ptr(inv, _i64p)
         )
     return uniq[:n_uniq], inv
+
+
+_U64 = np.uint64
+
+
+def _mix64_np(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 over a uint64 array — matches ``gk_mix64``."""
+    x = x + _U64(0x9E3779B97F4A7C15)
+    x = (x ^ (x >> _U64(30))) * _U64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> _U64(27))) * _U64(0x94D049BB133111EB)
+    return x ^ (x >> _U64(31))
+
+
+def sample_layer(
+    indptr: np.ndarray,
+    indices: np.ndarray,
+    data: np.ndarray,
+    out_nodes: np.ndarray,
+    k: int,
+    base: int,
+    mode: str = "gcn",
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Fixed-fanout neighbor picks + CSR gather + aggregation weights.
+
+    One fused native pass when the library is available; the NumPy fallback
+    is bit-identical (both draw pick ``(i, j)`` as
+    ``splitmix64(base + i*k + j) % deg``). ``mode='gcn'`` scales gathered
+    edge weights by ``deg/k`` (unbiased ``A_hat`` row estimator);
+    ``'mean'`` uses ``1/k``. Zero-degree rows emit the node itself with
+    weight 0. The native call releases the GIL, so prefetch-threaded
+    sampling overlaps with device compute.
+    """
+    m = int(out_nodes.size)
+    mode_i = 0 if mode == "gcn" else 1
+    lib = _load()
+    if lib is not None:
+        nodes = np.ascontiguousarray(out_nodes, np.int64)
+        cols = np.empty((m, k), np.int64)
+        wts = np.empty((m, k), np.float32)
+        lib.gk_sample_layer(
+            _ptr(np.ascontiguousarray(indptr, np.int64), _i64p),
+            _ptr(np.ascontiguousarray(indices, np.int64), _i64p),
+            _ptr(np.ascontiguousarray(data, np.float32), _f32p),
+            _ptr(nodes, _i64p), m, k, ctypes.c_uint64(base & _M64), mode_i,
+            _ptr(cols, _i64p), _ptr(wts, _f32p),
+        )
+        return cols, wts
+
+    nodes = np.asarray(out_nodes, np.int64)
+    deg = indptr[nodes + 1] - indptr[nodes]
+    counters = (
+        _U64(base & _M64)
+        + (np.arange(m, dtype=np.uint64) * _U64(k))[:, None]
+        + np.arange(k, dtype=np.uint64)[None, :]
+    )
+    picks = (_mix64_np(counters) % np.maximum(deg, 1).astype(np.uint64)[:, None]).astype(np.int64)
+    flat = indptr[nodes][:, None] + picks
+    cols = indices[flat].astype(np.int64, copy=False)
+    w = data[flat].astype(np.float32, copy=False)
+    if mode_i == 0:
+        wts = w * (deg[:, None].astype(np.float32) / np.float32(k))
+    else:
+        wts = np.full((m, k), 1.0 / k, np.float32)
+    has_edges = deg > 0
+    wts = np.where(has_edges[:, None], wts, 0.0).astype(np.float32)
+    cols = np.where(has_edges[:, None], cols, nodes[:, None])
+    return cols, wts
 
 
 def parse_edge_list(path: str) -> Optional[Tuple[np.ndarray, np.ndarray]]:

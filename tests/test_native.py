@@ -168,3 +168,41 @@ def test_locality_order_lp_groups_communities():
     cross_new = (s // 60 != r // 60).mean()
     cross_old = (a.row // 60 != a.col // 60).mean()
     assert cross_new < 0.25 * cross_old
+
+
+def test_sample_layer_native_matches_fallback():
+    """Fused native sampling == NumPy fallback, bit for bit, both modes."""
+    rng = np.random.default_rng(7)
+    n = 300
+    a = sp.random(n, n, density=0.04, random_state=7, format="csr")
+    a.data = a.data.astype(np.float32)
+    indptr = a.indptr.astype(np.int64)
+    indices = a.indices.astype(np.int64)
+    # include zero-degree rows among the targets
+    out_nodes = rng.integers(0, n, 64).astype(np.int64)
+    for mode in ("gcn", "mean"):
+        for base in (0, 12345, (1 << 63) + 99):
+            cols_n, w_n = native.sample_layer(
+                indptr, indices, a.data, out_nodes, 5, base, mode=mode
+            )
+            lib, tried = native._lib, native._tried
+            native._lib, native._tried = None, True  # force fallback
+            try:
+                cols_f, w_f = native.sample_layer(
+                    indptr, indices, a.data, out_nodes, 5, base, mode=mode
+                )
+            finally:
+                native._lib, native._tried = lib, tried
+            np.testing.assert_array_equal(cols_n, cols_f)
+            np.testing.assert_array_equal(w_n, w_f)
+
+    # semantics: picks index the node's own CSR row; zero-degree rows emit
+    # the node itself with weight 0
+    cols, w = native.sample_layer(indptr, indices, a.data, out_nodes, 5, 1, mode="gcn")
+    deg = indptr[out_nodes + 1] - indptr[out_nodes]
+    for i, node in enumerate(out_nodes):
+        if deg[i] == 0:
+            assert (cols[i] == node).all() and (w[i] == 0).all()
+        else:
+            row = indices[indptr[node]:indptr[node + 1]]
+            assert np.isin(cols[i], row).all()

@@ -154,7 +154,9 @@ def test_sampled_training_reaches_accuracy():
     rng = np.random.default_rng(0)
     for epoch in range(60):
         seeds = rng.choice(data.idx_train, 32, replace=False)
-        batch = sampler.sample(seeds)
+        # pad=True is the production path: without it every epoch's node-set
+        # size differs and the jitted step recompiles per batch
+        batch = sampler.sample(seeds, pad=True)
         params, opt_state, loss = step(
             params, opt_state, batch.blocks,
             x_all[jnp.asarray(batch.input_nodes)],
