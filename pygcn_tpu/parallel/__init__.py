@@ -9,11 +9,12 @@ __all__ = [
     "make_dist_spmm",
     "DistGCN",
     "DistGCNOverMLP",
+    "TPDistGCN",
 ]
 
 
 def __getattr__(name):
-    # lazy: dist_gcn / dist_evaluator pull in optax and the nn stack
+    # lazy: dist_gcn / dist_evaluator / tp_gcn pull in optax and the nn stack
     if name == "DistGCN":
         from pygcn_tpu.parallel.dist_gcn import DistGCN
 
@@ -22,4 +23,8 @@ def __getattr__(name):
         from pygcn_tpu.parallel.dist_evaluator import DistGCNOverMLP
 
         return DistGCNOverMLP
+    if name == "TPDistGCN":
+        from pygcn_tpu.parallel.tp_gcn import TPDistGCN
+
+        return TPDistGCN
     raise AttributeError(name)

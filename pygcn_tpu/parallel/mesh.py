@@ -11,6 +11,8 @@ Axis conventions used across the framework:
 - ``"graph"`` — node/edge partition axis (the graph-size scaling axis; the
   build's analog of sequence parallelism).
 - ``"data"``  — batch axis for policy-sample / seed batching.
+- ``"model"`` — tensor-parallel axis (Megatron col/row weight sharding in
+  ``tp_gcn.py``; also splits SpMM feature columns).
 """
 
 from __future__ import annotations
