@@ -10,6 +10,7 @@ __all__ = [
     "DistGCN",
     "DistGCNOverMLP",
     "TPDistGCN",
+    "PipelinedDeepGCN",
 ]
 
 
@@ -27,4 +28,8 @@ def __getattr__(name):
         from pygcn_tpu.parallel.tp_gcn import TPDistGCN
 
         return TPDistGCN
+    if name == "PipelinedDeepGCN":
+        from pygcn_tpu.parallel.pipeline import PipelinedDeepGCN
+
+        return PipelinedDeepGCN
     raise AttributeError(name)

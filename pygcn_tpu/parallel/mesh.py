@@ -13,6 +13,8 @@ Axis conventions used across the framework:
 - ``"data"``  — batch axis for policy-sample / seed batching.
 - ``"model"`` — tensor-parallel axis (Megatron col/row weight sharding in
   ``tp_gcn.py``; also splits SpMM feature columns).
+- ``"pipe"``  — pipeline axis (GPipe microbatch streaming in ``pipeline.py``,
+  one deep-GCN stage per device).
 """
 
 from __future__ import annotations
