@@ -35,6 +35,11 @@ def main(argv=None):
     ap.add_argument("--remat", action="store_true",
                     help="rematerialize layer activations in the backward pass "
                          "(trade FLOPs for HBM on deep/wide configs)")
+    ap.add_argument("--shards", type=int, default=1,
+                    help="partition the graph over this many devices "
+                         "(edge-partitioned DistGCN with halo-exchange SpMM "
+                         "over the 'graph' mesh axis; needs >= that many "
+                         "JAX devices)")
     ap.add_argument("--npz", default=None,
                     help="train on a real dataset in the .npz interchange "
                          "format (graph.datasets.load_npz_dataset) instead of "
@@ -92,6 +97,10 @@ def main(argv=None):
 
     dims = [args.feat_dim] + [args.hidden] * (args.layers - 1) + [args.n_classes]
     key = jax.random.key(args.seed)
+
+    if args.shards > 1:
+        return _run_sharded(args, graph, x, labels, mask, data, dims, key)
+
     params = []
     for fi, fo in zip(dims[:-1], dims[1:]):
         key, kw, kb = jax.random.split(key, 3)
@@ -138,6 +147,61 @@ def main(argv=None):
           f"~{graph.n_edges * spmm_equiv / dt / 1e6:.0f} Medge-traversals/s")
     if data is not None:
         preds = np.asarray(forward(params, x)).argmax(1)
+        for split, idx in [("val", data.idx_val), ("test", data.idx_test)]:
+            acc = float((preds[idx] == np.asarray(data.labels)[idx]).mean())
+            print(f"{split} accuracy: {acc:.4f}")
+    return dt
+
+
+def _run_sharded(args, graph, x, labels, mask, data, dims, key):
+    """--shards N: edge-partitioned DistGCN over a 'graph' mesh."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from pygcn_tpu.parallel import build_dist_plan, make_mesh
+    from pygcn_tpu.parallel.dist_gcn import DistGCN, make_dist_classifier_step
+    from pygcn_tpu.train import adam_l2
+
+    mesh = make_mesh([args.shards], ["graph"])
+    plan = build_dist_plan(graph, args.shards)
+    model = DistGCN(
+        mesh, plan, dims,
+        final_activation=lambda h: jax.nn.log_softmax(h, axis=1),
+    )
+    params = model.shard_params(model.init(key))
+    tx = adam_l2(args.lr, args.weight_decay)
+    opt_state = tx.init(params)
+    step = make_dist_classifier_step(model, tx)
+
+    npad = plan.n_nodes_padded
+    xs = model.shard_x(x)
+    sh = NamedSharding(mesh, P("graph"))
+    labels_p = jax.device_put(
+        jnp.zeros(npad, jnp.int32).at[: graph.n_nodes].set(labels), sh
+    )
+    mask_p = jax.device_put(
+        jnp.zeros(npad, jnp.float32).at[: graph.n_nodes].set(mask), sh
+    )
+    print(f"sharded over {args.shards} devices: {plan.shard_size} nodes/shard, "
+          f"halo {plan.send_idx.shape[-1]} rows/peer")
+
+    params, opt_state, loss = step(params, opt_state, xs, labels_p, mask_p)
+    float(loss)  # compile + complete
+    t0 = time.time()
+    for _ in range(args.epochs):
+        params, opt_state, loss = step(params, opt_state, xs, labels_p, mask_p)
+    loss_val = float(loss)
+    dt = (time.time() - t0) / args.epochs
+    spmm_equiv = args.layers * 3
+    print(f"epoch time: {dt * 1e3:.1f} ms  loss={loss_val:.4f}  "
+          f"~{graph.n_edges * spmm_equiv / dt / 1e6:.0f} Medge-traversals/s")
+    if data is not None:
+        logp = np.asarray(model.apply(params, xs))[: graph.n_nodes]
+        preds = logp.argmax(1)
         for split, idx in [("val", data.idx_val), ("test", data.idx_test)]:
             acc = float((preds[idx] == np.asarray(data.labels)[idx]).mean())
             print(f"{split} accuracy: {acc:.4f}")

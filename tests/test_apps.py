@@ -197,6 +197,18 @@ def test_train_fullgraph():
     assert dt > 0
 
 
+def test_train_fullgraph_sharded():
+    """--shards N drives the halo-exchange DistGCN path from the CLI."""
+    from pygcn_tpu.apps import train_fullgraph
+
+    dt = train_fullgraph.main([
+        "--n_nodes", "600", "--avg_degree", "5", "--feat_dim", "8",
+        "--hidden", "8", "--n_classes", "3", "--epochs", "2", "--layers", "2",
+        "--shards", "4",
+    ])
+    assert dt > 0
+
+
 def test_train_sampled():
     from pygcn_tpu.apps import train_sampled
 
