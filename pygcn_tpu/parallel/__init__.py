@@ -11,6 +11,7 @@ __all__ = [
     "DistGCNOverMLP",
     "TPDistGCN",
     "PipelinedDeepGCN",
+    "ExpertParallelMLP",
 ]
 
 
@@ -32,4 +33,8 @@ def __getattr__(name):
         from pygcn_tpu.parallel.pipeline import PipelinedDeepGCN
 
         return PipelinedDeepGCN
+    if name == "ExpertParallelMLP":
+        from pygcn_tpu.parallel.moe import ExpertParallelMLP
+
+        return ExpertParallelMLP
     raise AttributeError(name)

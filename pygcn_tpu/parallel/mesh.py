@@ -15,6 +15,8 @@ Axis conventions used across the framework:
   ``tp_gcn.py``; also splits SpMM feature columns).
 - ``"pipe"``  — pipeline axis (GPipe microbatch streaming in ``pipeline.py``,
   one deep-GCN stage per device).
+- ``"expert"`` — expert-parallel axis (top-1-gated MoE in ``moe.py``, one
+  shard of experts per device).
 """
 
 from __future__ import annotations
