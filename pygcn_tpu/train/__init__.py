@@ -12,4 +12,14 @@ __all__ = [
     "EarlyStopping",
     "save_checkpoint_state",
     "get_checkpoint_state",
+    "OrbaxCheckpointer",
 ]
+
+
+def __getattr__(name):
+    # lazy: orbax import is heavy and only needed for distributed checkpoints
+    if name == "OrbaxCheckpointer":
+        from pygcn_tpu.train.checkpoint_orbax import OrbaxCheckpointer
+
+        return OrbaxCheckpointer
+    raise AttributeError(name)
