@@ -134,32 +134,18 @@ def main(argv=None):
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
-    # warmup/compile
-    params, opt_state, loss = step(params, opt_state, x, labels, mask)
-    float(loss)
-    t0 = time.time()
-    for epoch in range(args.epochs):
-        params, opt_state, loss = step(params, opt_state, x, labels, mask)
-    loss_val = float(loss)  # forces completion
-    dt = (time.time() - t0) / args.epochs
-    spmm_equiv = args.layers * 3  # fwd + 2 per layer in bwd (dX via A^T, recompute)
-    print(f"epoch time: {dt * 1e3:.1f} ms  loss={loss_val:.4f}  "
-          f"~{graph.n_edges * spmm_equiv / dt / 1e6:.0f} Medge-traversals/s")
-    if data is not None:
-        preds = np.asarray(forward(params, x)).argmax(1)
-        for split, idx in [("val", data.idx_val), ("test", data.idx_test)]:
-            acc = float((preds[idx] == np.asarray(data.labels)[idx]).mean())
-            print(f"{split} accuracy: {acc:.4f}")
-    return dt
+    return _time_and_report(
+        args, graph, data,
+        run_step=lambda s: step(s[0], s[1], x, labels, mask),
+        state=(params, opt_state),
+        predict=lambda s: forward(s[0], x),
+    )
 
 
 def _run_sharded(args, graph, x, labels, mask, data, dims, key):
     """--shards N: edge-partitioned DistGCN over a 'graph' mesh."""
-    import time
-
     import jax
     import jax.numpy as jnp
-    import numpy as np
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from pygcn_tpu.parallel import build_dist_plan, make_mesh
@@ -171,6 +157,7 @@ def _run_sharded(args, graph, x, labels, mask, data, dims, key):
     model = DistGCN(
         mesh, plan, dims,
         final_activation=lambda h: jax.nn.log_softmax(h, axis=1),
+        remat=args.remat,
     )
     params = model.shard_params(model.init(key))
     tx = adam_l2(args.lr, args.weight_decay)
@@ -189,19 +176,36 @@ def _run_sharded(args, graph, x, labels, mask, data, dims, key):
     print(f"sharded over {args.shards} devices: {plan.shard_size} nodes/shard, "
           f"halo {plan.send_idx.shape[-1]} rows/peer")
 
-    params, opt_state, loss = step(params, opt_state, xs, labels_p, mask_p)
-    float(loss)  # compile + complete
+    return _time_and_report(
+        args, graph, data,
+        run_step=lambda s: step(s[0], s[1], xs, labels_p, mask_p),
+        state=(params, opt_state),
+        predict=lambda s: model.apply(s[0], xs)[: graph.n_nodes],
+    )
+
+
+def _time_and_report(args, graph, data, run_step, state, predict):
+    """Shared warmup/timing/throughput + val/test accuracy reporting.
+
+    ``run_step(state) -> (params, opt_state, loss)``; ``predict(state)``
+    returns log-probs aligned with ``data.labels``.
+    """
+    import time
+
+    import numpy as np
+
+    *state, loss = run_step(state)  # warmup/compile
+    float(loss)
     t0 = time.time()
     for _ in range(args.epochs):
-        params, opt_state, loss = step(params, opt_state, xs, labels_p, mask_p)
-    loss_val = float(loss)
+        *state, loss = run_step(state)
+    loss_val = float(loss)  # forces completion
     dt = (time.time() - t0) / args.epochs
-    spmm_equiv = args.layers * 3
+    spmm_equiv = args.layers * 3  # fwd + 2 per layer in bwd (dX via A^T, recompute)
     print(f"epoch time: {dt * 1e3:.1f} ms  loss={loss_val:.4f}  "
           f"~{graph.n_edges * spmm_equiv / dt / 1e6:.0f} Medge-traversals/s")
     if data is not None:
-        logp = np.asarray(model.apply(params, xs))[: graph.n_nodes]
-        preds = logp.argmax(1)
+        preds = np.asarray(predict(state)).argmax(1)
         for split, idx in [("val", data.idx_val), ("test", data.idx_test)]:
             acc = float((preds[idx] == np.asarray(data.labels)[idx]).mean())
             print(f"{split} accuracy: {acc:.4f}")

@@ -95,7 +95,10 @@ class NeighborSampler:
         # when native, so prefetch-threaded sampling truly overlaps.
         from pygcn_tpu.utils.native import _mix64, sample_layer
 
-        base = _mix64(((self.seed & 0xFFFFFFFF) << 32) ^ self._n_draws)
+        # hash the FULL 64-bit seed before mixing in the call counter, so
+        # seeds differing only in high bits get distinct streams and the
+        # counter cannot alias the seed field
+        base = _mix64(_mix64(self.seed & (2**64 - 1)) ^ self._n_draws)
         self._n_draws += 1
         return sample_layer(
             self.indptr, self.indices, self.data, out_nodes, k, base,

@@ -35,6 +35,7 @@ class DistGCN:
         dims: Sequence[int],
         final_activation: Optional[Callable] = None,
         axis: str = "graph",
+        remat: bool = False,
     ):
         self.mesh = mesh
         self.plan = plan
@@ -42,6 +43,10 @@ class DistGCN:
         self.final_activation = final_activation
         self.spmm = make_dist_spmm(mesh, plan, axis)
         self.axis = axis
+        layer = lambda p, h: self.spmm(jnp.dot(h, p["w"])) + p["b"]
+        # rematerialize per-layer activations in the backward pass (redo the
+        # layer's SpMM + GEMM instead of keeping [N_pad, H] per layer live)
+        self._layer = jax.checkpoint(layer) if remat else layer
 
     def init(self, key) -> list:
         params = []
@@ -58,7 +63,7 @@ class DistGCN:
         h = x
         n_layers = len(params)
         for i, p in enumerate(params):
-            h = self.spmm(jnp.dot(h, p["w"])) + p["b"]
+            h = self._layer(p, h)
             if i < n_layers - 1:
                 h = jax.nn.relu(h)
             elif self.final_activation is not None:

@@ -43,8 +43,10 @@ def make_gpipe(
 
     - ``stage_fn(params, h) -> h`` must preserve ``h``'s shape (homogeneous
       pipeline); ``params`` is one stage's pytree.
-    - ``stacked_params``: the S stages' pytrees stacked on a new leading axis
-      (leaf shapes ``[S, ...]``; see :func:`stack_stage_params`).
+    - ``stacked_params``: the stages' pytrees stacked on a new leading axis
+      (see :func:`stack_stage_params`). The stage count must be a multiple
+      ``L*S`` of the mesh-axis size ``S``; each device then runs its ``L``
+      consecutive stages per tick (stage grouping).
     - ``x``: ``[M, mb, ...]`` microbatched input, replicated.
     - returns ``[M, mb, ...]``: every microbatch through all S stages, in
       order — identical math to ``for p in stages: h = stage_fn(p, h)``.
@@ -53,10 +55,16 @@ def make_gpipe(
     perm = [(i, (i + 1) % S) for i in range(S)]
 
     def pipeline(params, x):
-        # per-device slices: params leaves [1, ...] -> drop the stage axis
-        p = jax.tree.map(lambda a: a[0], params)
+        # per-device slice: leaves [L, ...] = this device's L consecutive
+        # stages (stage grouping when total stages = L * mesh size)
+        n_local = jax.tree.leaves(params)[0].shape[0]
         d = lax.axis_index(axis)
         M = x.shape[0]
+
+        def device_stages(h):
+            for j in range(n_local):
+                h = stage_fn(jax.tree.map(lambda a: a[j], params), h)
+            return h
 
         # the carry becomes device-varying after axis_index/ppermute, so the
         # initial value must be cast to varying for the scan types to match
@@ -72,7 +80,7 @@ def make_gpipe(
                 x, jnp.clip(t, 0, M - 1), axis=0, keepdims=False
             )
             h_in = jnp.where(d == 0, xin, h_recv)
-            y = stage_fn(p, h_in)
+            y = device_stages(h_in)
             h_next = lax.ppermute(y, axis, perm)
             # the last stage commits finished microbatch t-(S-1); earlier
             # ticks write warm-up garbage into slot 0, overwritten at
@@ -88,6 +96,12 @@ def make_gpipe(
         return out[None]
 
     def apply(stacked_params, x):
+        n_stages = jax.tree.leaves(stacked_params)[0].shape[0]
+        if n_stages % S != 0:
+            raise ValueError(
+                f"stacked stage count {n_stages} must be a multiple of the "
+                f"'{axis}' mesh axis size {S}"
+            )
         specs = jax.tree.map(lambda _: P(axis), stacked_params)
         fn = shard_map(pipeline, mesh=mesh, in_specs=(specs, P()), out_specs=P(axis))
         return fn(stacked_params, x)[-1]

@@ -11,7 +11,7 @@ sharding — including a *different* mesh shape than the one that saved
 API kept deliberately small::
 
     ckptr = OrbaxCheckpointer()                     # async by default
-    ckptr.save(path, {"params": params, "opt": opt_state}, step=epoch)
+    ckptr.save(path, {"params": params, "opt": opt_state, "epoch": epoch})
     state = ckptr.restore(path, like=abstract_or_concrete_tree)
     ckptr.wait()                                    # join pending async saves
 """

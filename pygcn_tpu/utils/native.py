@@ -25,24 +25,51 @@ _i32p = ctypes.POINTER(ctypes.c_int32)
 _f32p = ctypes.POINTER(ctypes.c_float)
 
 
+def _needs_build() -> bool:
+    """True when the .so is absent or older than graphkit.cpp (stale)."""
+    if not os.path.exists(_LIB_PATH):
+        return True
+    src = os.path.join(_NATIVE_DIR, "graphkit.cpp")
+    try:
+        return os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)
+    except OSError:
+        return False
+
+
+def _build() -> bool:
+    build = os.path.join(_NATIVE_DIR, "build.sh")
+    if not os.path.exists(build):
+        return False
+    try:
+        subprocess.run(["sh", build], check=True, capture_output=True, timeout=120)
+    except (subprocess.SubprocessError, OSError):
+        return False
+    return os.path.exists(_LIB_PATH)
+
+
 def _load() -> Optional[ctypes.CDLL]:
     global _lib, _tried
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_LIB_PATH):
-        build = os.path.join(_NATIVE_DIR, "build.sh")
-        if os.path.exists(build):
-            try:
-                subprocess.run(["sh", build], check=True, capture_output=True, timeout=120)
-            except (subprocess.SubprocessError, OSError):
-                return None
-    if not os.path.exists(_LIB_PATH):
-        return None
+    if _needs_build() and not _build():
+        if not os.path.exists(_LIB_PATH):
+            return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)
     except OSError:
         return None
+    # a stale pre-built .so (source updated, mtimes unhelpful — e.g. a fresh
+    # checkout) may lack newer symbols: rebuild once, else fall back to NumPy
+    if not hasattr(lib, "gk_sample_layer"):
+        if not _build():
+            return None
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError:
+            return None
+        if not hasattr(lib, "gk_sample_layer"):
+            return None
     lib.gk_sort_edges_by_row.argtypes = [_i64p, _i64p, ctypes.c_int64, _i64p]
     lib.gk_coo_to_csr.argtypes = [_i64p, ctypes.c_int64, ctypes.c_int64, _i64p]
     lib.gk_build_ell_count.argtypes = [_i64p, ctypes.c_int64, _i64p, ctypes.c_int64, _i64p]
@@ -304,7 +331,11 @@ def sample_layer(
         + np.arange(k, dtype=np.uint64)[None, :]
     )
     picks = (_mix64_np(counters) % np.maximum(deg, 1).astype(np.uint64)[:, None]).astype(np.int64)
-    flat = indptr[nodes][:, None] + picks
+    if indices.size == 0:  # edgeless graph: every row is the deg==0 case
+        return nodes[:, None].repeat(k, 1), np.zeros((m, k), np.float32)
+    # zero-degree rows may index past the end of their (empty) CSR row; the
+    # clamp keeps the gather in bounds — their values are overwritten below
+    flat = np.minimum(indptr[nodes][:, None] + picks, indices.size - 1)
     cols = indices[flat].astype(np.int64, copy=False)
     w = data[flat].astype(np.float32, copy=False)
     if mode_i == 0:

@@ -62,14 +62,14 @@ def test_expert_parallel_trains():
     def loss_fn(p):
         return jnp.mean((x + moe.apply(p, x) - y) ** 2)  # residual MoE
 
+    grad_fn = jax.jit(jax.grad(loss_fn))
     loss0 = float(loss_fn(params))
-    grads = jax.jit(jax.grad(loss_fn))(params)
+    grads = grad_fn(params)
     assert float(jnp.abs(grads["gate"]).sum()) > 0.0
     assert float(jnp.abs(grads["w1"]).sum()) > 0.0
     lr = 0.1
     for _ in range(40):
-        g = jax.jit(jax.grad(loss_fn))(params)
-        params = jax.tree.map(lambda p, gi: p - lr * gi, params, g)
+        params = jax.tree.map(lambda p, gi: p - lr * gi, params, grad_fn(params))
     assert float(loss_fn(params)) < loss0
 
 

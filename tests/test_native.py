@@ -206,3 +206,35 @@ def test_sample_layer_native_matches_fallback():
         else:
             row = indices[indptr[node]:indptr[node + 1]]
             assert np.isin(cols[i], row).all()
+
+
+def test_sample_layer_fallback_isolated_last_node():
+    """Regression: the NumPy fallback used to index past `indices` for a
+    zero-degree node whose (empty) CSR row sits at the end of the array."""
+    a = sp.csr_matrix(
+        np.array([[0, 1, 0], [1, 0, 0], [0, 0, 0]], np.float32)
+    )
+    out_nodes = np.array([2, 0], np.int64)  # node 2 is isolated, row at nnz
+    lib, tried = native._lib, native._tried
+    native._lib, native._tried = None, True  # force fallback
+    try:
+        cols, w = native.sample_layer(
+            a.indptr.astype(np.int64), a.indices.astype(np.int64),
+            a.data.astype(np.float32), out_nodes, 4, 123, mode="gcn",
+        )
+    finally:
+        native._lib, native._tried = lib, tried
+    assert (cols[0] == 2).all() and (w[0] == 0).all()
+    assert (cols[1] == 1).all()  # node 0's only neighbor
+
+    # fully edgeless graph
+    e = sp.csr_matrix((3, 3), dtype=np.float32)
+    native._lib, native._tried = None, True
+    try:
+        cols, w = native.sample_layer(
+            e.indptr.astype(np.int64), e.indices.astype(np.int64),
+            e.data.astype(np.float32), out_nodes, 2, 0, mode="mean",
+        )
+    finally:
+        native._lib, native._tried = lib, tried
+    assert (cols == out_nodes[:, None]).all() and (w == 0).all()

@@ -90,3 +90,25 @@ def test_pipelined_deep_gcn_matches_loop():
         h = jax.nn.relu(conv(p, h))
     want = conv(params["head"], h)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5)
+
+
+def test_gpipe_stage_grouping_and_mismatch():
+    """8 stages on a 4-device pipe run as 2 consecutive stages per device;
+    non-multiple stage counts are rejected (regression: a[0] silently
+    dropped all but each device's first stage)."""
+    rng = np.random.default_rng(3)
+    mesh = make_mesh([4], ["pipe"])
+    stage_fn = lambda p, h: jnp.tanh(jnp.dot(h, p["w"]))
+    stage_params = [
+        {"w": jnp.asarray(rng.normal(size=(5, 5), scale=0.4).astype(np.float32))}
+        for _ in range(8)
+    ]
+    x = jnp.asarray(rng.normal(size=(5, 2, 5)).astype(np.float32))
+    apply = make_gpipe(mesh, stage_fn)
+    got = apply(stack_stage_params(stage_params), x)
+    want = _sequential(stage_params, stage_fn, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6)
+
+    import pytest
+    with pytest.raises(ValueError, match="multiple"):
+        apply(stack_stage_params(stage_params[:6]), x)

@@ -27,14 +27,14 @@ def _dense_reference(data, params, modes):
 @pytest.mark.parametrize(
     "mesh_shape,dims",
     [
-        ((2, 2), [24, 8, 8, 3]),  # col, row, full — graph x model composed
-        ((1, 4), [24, 8, 3]),     # col, rowfull — pure TP (Megatron pair)
-        ((4, 2), [24, 8, 8, 8, 3]),  # col, row, col, rowfull
+        ((2, 2), [12, 8, 8, 3]),  # col, row, full — graph x model composed
+        ((1, 4), [12, 8, 3]),     # col, rowfull — pure TP (Megatron pair)
+        ((4, 2), [12, 8, 8, 8, 3]),  # col, row, col, rowfull
     ],
 )
 def test_tp_gcn_matches_single_device(mesh_shape, dims):
     data = sbm_classification(
-        n=160, n_classes=3, feat_dim=dims[0], seed=3,
+        n=96, n_classes=3, feat_dim=dims[0], seed=3,
         build_dense=False, build_bcsr=False, build_ell=False,
     )
     g, m = mesh_shape
@@ -63,13 +63,14 @@ def test_tp_gcn_rejects_indivisible_hidden():
 
 def test_tp_gcn_trains_and_keeps_shardings():
     data = sbm_classification(
-        n=240, n_classes=3, feat_dim=24, seed=1,
+        n=160, n_classes=3, feat_dim=16, seed=1,
+        train_per_class=10, n_val=30, n_test=60,
         build_dense=False, build_bcsr=False, build_ell=False,
     )
     mesh = make_mesh([2, 2], ["graph", "model"])
     plan = build_dist_plan(data.graph, 2)
     model = TPDistGCN(
-        mesh, plan, [24, 8, 3],
+        mesh, plan, [16, 8, 3],
         final_activation=lambda h: jax.nn.log_softmax(h, axis=1),
     )
     params = model.shard_params(model.init(jax.random.key(0)))
@@ -87,11 +88,9 @@ def test_tp_gcn_trains_and_keeps_shardings():
         (0, npad - data.graph.n_nodes),
     )
 
-    losses = []
-    for _ in range(30):
+    for _ in range(15):
         params, opt_state, loss = step(params, opt_state, x, labels, mask)
-    losses.append(float(loss))
-    assert np.isfinite(losses[-1])
+    assert np.isfinite(float(loss))
 
     # TP shardings survive the optimizer: the col layer's weight stays
     # sharded over "model" (no silent gather-to-replicated)
