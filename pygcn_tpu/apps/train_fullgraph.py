@@ -35,6 +35,10 @@ def main(argv=None):
     ap.add_argument("--remat", action="store_true",
                     help="rematerialize layer activations in the backward pass "
                          "(trade FLOPs for HBM on deep/wide configs)")
+    ap.add_argument("--model", choices=["gcn", "gat"], default="gcn",
+                    help="gat: 2-layer multi-head graph attention "
+                         "(--hidden = per-head width)")
+    ap.add_argument("--gat_heads", type=int, default=8)
     ap.add_argument("--shards", type=int, default=1,
                     help="partition the graph over this many devices "
                          "(edge-partitioned DistGCN with halo-exchange SpMM "
@@ -99,29 +103,41 @@ def main(argv=None):
     key = jax.random.key(args.seed)
 
     if args.shards > 1:
+        if args.model != "gcn":
+            raise SystemExit("--shards currently supports --model gcn only")
         return _run_sharded(args, graph, x, labels, mask, data, dims, key)
 
-    params = []
-    for fi, fo in zip(dims[:-1], dims[1:]):
-        key, kw, kb = jax.random.split(key, 3)
-        params.append({"w": tinit.graphconv_weight(kw, fi, fo),
-                       "b": tinit.graphconv_bias(kb, fo)})
+    if args.model == "gat":
+        from pygcn_tpu.nn.gat import GAT
+
+        gat = GAT(nfeat=args.feat_dim, nhid=args.hidden, nclass=args.n_classes,
+                  heads=args.gat_heads)
+        params = gat.init(key)
+
+        def forward(params, x):
+            return gat.apply(params, x, graph)
+    else:
+        params = []
+        for fi, fo in zip(dims[:-1], dims[1:]):
+            key, kw, kb = jax.random.split(key, 3)
+            params.append({"w": tinit.graphconv_weight(kw, fi, fo),
+                           "b": tinit.graphconv_bias(kb, fo)})
+
+        def layer(p, h, is_last):
+            h = spmm(graph, jnp.dot(h, p["w"])) + p["b"]
+            return h if is_last else jax.nn.relu(h)
+
+        if args.remat:
+            layer = jax.checkpoint(layer, static_argnums=(2,))
+
+        def forward(params, x):
+            h = x
+            for i, p in enumerate(params):
+                h = layer(p, h, i == len(params) - 1)
+            return jax.nn.log_softmax(h, axis=1)
 
     tx = adam_l2(args.lr, args.weight_decay)
     opt_state = tx.init(params)
-
-    def layer(p, h, is_last):
-        h = spmm(graph, jnp.dot(h, p["w"])) + p["b"]
-        return h if is_last else jax.nn.relu(h)
-
-    if args.remat:
-        layer = jax.checkpoint(layer, static_argnums=(2,))
-
-    def forward(params, x):
-        h = x
-        for i, p in enumerate(params):
-            h = layer(p, h, i == len(params) - 1)
-        return jax.nn.log_softmax(h, axis=1)
 
     def loss_fn(params, x, labels, mask):
         logp = forward(params, x)

@@ -1,0 +1,103 @@
+"""Graph attention network (GAT) layers — a model-family extension.
+
+Not in the reference (its zoo is GCN variants, ``pygcn/models.py``; the only
+attention is the pooled-key node scorer at ``models.py:316-329``); included
+because a production GNN framework needs the attention family, and it proves
+the sparse engine on **dynamic** edge weights (recomputed each step, unlike
+GCN's precomputed ``A_hat``). Veličković et al. 2018 semantics: multi-head
+additive attention, ELU activations, head-concat on hidden layers and
+head-mean on the output layer.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from pygcn_tpu.graph.graph import Graph
+from pygcn_tpu.nn import init as tinit
+from pygcn_tpu.nn.module import Module, Params, split_keys
+from pygcn_tpu.ops.gat import attention_aggregate, gat_attention
+
+
+@dataclasses.dataclass(frozen=True)
+class GATConv(Module):
+    """One multi-head GAT layer.
+
+    ``out = concat_h(Σ_u alpha^h_uv · (x_u @ W^h))`` (mean over heads when
+    ``concat=False``); ``alpha`` is the per-receiver softmax of
+    ``leaky_relu(a_src·s_u + a_dst·s_v)``. All heads run in one pass (heads
+    folded into the feature dim — one gather serves every head).
+    """
+
+    in_features: int
+    out_features: int  # per head
+    heads: int = 1
+    concat: bool = True
+    negative_slope: float = 0.2
+    bias: bool = True
+
+    def init(self, key) -> Params:
+        kw, ks, kd, kb = jax.random.split(key, 4)
+        h, f = self.heads, self.out_features
+        p = {
+            "w": tinit.graphconv_weight(kw, self.in_features, h * f),
+            "a_src": tinit.graphconv_weight(ks, h, f),
+            "a_dst": tinit.graphconv_weight(kd, h, f),
+        }
+        if self.bias:
+            out_dim = h * f if self.concat else f
+            p["b"] = tinit.graphconv_bias(kb, out_dim)
+        return p
+
+    def apply(self, params, x: jax.Array, graph: Graph) -> jax.Array:
+        n = x.shape[0]
+        h, f = self.heads, self.out_features
+        s = jnp.dot(x, params["w"]).reshape(n, h, f)
+        alpha = gat_attention(
+            graph, s, params["a_src"], params["a_dst"], self.negative_slope
+        )  # [E_pad, H]
+        out = attention_aggregate(graph, s, alpha)  # [N, H, F]
+        out = out.reshape(n, h * f) if self.concat else out.mean(axis=1)
+        if "b" in params:
+            out = out + params["b"]
+        return out
+
+
+@dataclasses.dataclass(frozen=True)
+class GAT(Module):
+    """2-layer GAT: ``elu(GATConv(heads, concat)) → GATConv(1 head, mean)``.
+
+    The standard transductive-benchmark configuration (8 hidden heads of 8
+    features, 1 output head averaging) with log-softmax output for NLL
+    training.
+    """
+
+    nfeat: int
+    nhid: int  # per head
+    nclass: int
+    heads: int = 8
+    out_heads: int = 1
+    negative_slope: float = 0.2
+
+    def _children(self):
+        return {
+            "gat1": GATConv(self.nfeat, self.nhid, heads=self.heads,
+                            concat=True, negative_slope=self.negative_slope),
+            "gat2": GATConv(self.nhid * self.heads, self.nclass,
+                            heads=self.out_heads, concat=False,
+                            negative_slope=self.negative_slope),
+        }
+
+    def init(self, key) -> Params:
+        ch = self._children()
+        keys = split_keys(key, list(ch))
+        return {name: m.init(keys[name]) for name, m in ch.items()}
+
+    def apply(self, params, x: jax.Array, graph: Graph) -> jax.Array:
+        ch = self._children()
+        x = jax.nn.elu(ch["gat1"](params["gat1"], x, graph))
+        x = ch["gat2"](params["gat2"], x, graph)
+        return jax.nn.log_softmax(x, axis=1)

@@ -197,6 +197,17 @@ def test_train_fullgraph():
     assert dt > 0
 
 
+def test_train_fullgraph_gat():
+    from pygcn_tpu.apps import train_fullgraph
+
+    dt = train_fullgraph.main([
+        "--n_nodes", "400", "--avg_degree", "5", "--feat_dim", "8",
+        "--hidden", "4", "--n_classes", "3", "--epochs", "2",
+        "--model", "gat", "--gat_heads", "2",
+    ])
+    assert dt > 0
+
+
 def test_train_fullgraph_sharded():
     """--shards N drives the halo-exchange DistGCN path from the CLI."""
     from pygcn_tpu.apps import train_fullgraph
