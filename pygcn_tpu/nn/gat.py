@@ -52,13 +52,17 @@ class GATConv(Module):
             p["b"] = tinit.graphconv_bias(kb, out_dim)
         return p
 
-    def apply(self, params, x: jax.Array, graph: Graph) -> jax.Array:
+    def apply(self, params, x: jax.Array, graph: Graph,
+              attn_dropout=None) -> jax.Array:
         n = x.shape[0]
         h, f = self.heads, self.out_features
         s = jnp.dot(x, params["w"]).reshape(n, h, f)
         alpha = gat_attention(
             graph, s, params["a_src"], params["a_dst"], self.negative_slope
         )  # [E_pad, H]
+        if attn_dropout is not None:
+            drop, slot = attn_dropout
+            alpha = drop(slot, alpha)  # paper: dropout on the coefficients
         out = attention_aggregate(graph, s, alpha)  # [N, H, F]
         out = out.reshape(n, h * f) if self.concat else out.mean(axis=1)
         if "b" in params:
@@ -81,6 +85,7 @@ class GAT(Module):
     heads: int = 8
     out_heads: int = 1
     negative_slope: float = 0.2
+    dropout: float = 0.0  # applied to inputs AND attention when rng given
 
     def _children(self):
         return {
@@ -96,8 +101,28 @@ class GAT(Module):
         keys = split_keys(key, list(ch))
         return {name: m.init(keys[name]) for name, m in ch.items()}
 
-    def apply(self, params, x: jax.Array, graph: Graph) -> jax.Array:
+    def apply(self, params, x: jax.Array, graph: Graph,
+              dropout_rng=None) -> jax.Array:
+        """Pass ``dropout_rng`` during training to enable the paper's
+        dropout on layer inputs and attention coefficients (eval: omit)."""
         ch = self._children()
-        x = jax.nn.elu(ch["gat1"](params["gat1"], x, graph))
-        x = ch["gat2"](params["gat2"], x, graph)
+        drop = None
+        if dropout_rng is not None and self.dropout > 0.0:
+            keys = jax.random.split(dropout_rng, 4)
+            keep = 1.0 - self.dropout
+
+            def drop_fn(i, a):
+                m = jax.random.bernoulli(keys[i], keep, a.shape)
+                return jnp.where(m, a / keep, 0.0)
+
+            drop = drop_fn
+        if drop is not None:
+            x = drop(0, x)
+        x = ch["gat1"].apply(params["gat1"], x, graph,
+                             attn_dropout=(drop, 1) if drop else None)
+        x = jax.nn.elu(x)
+        if drop is not None:
+            x = drop(2, x)
+        x = ch["gat2"].apply(params["gat2"], x, graph,
+                             attn_dropout=(drop, 3) if drop else None)
         return jax.nn.log_softmax(x, axis=1)

@@ -413,4 +413,8 @@ def get_model(config, model_name: str = "GCN") -> Module:
         )
     if model_name == "KipfGCN":
         return KipfGCN(config.gcn_nfeat, config.gcn_nhid, config.gcn_nclass)
+    if model_name == "GAT":
+        from pygcn_tpu.nn.gat import GAT
+
+        return GAT(config.gcn_nfeat, config.gcn_nhid, config.gcn_nclass)
     raise ValueError(f"unknown model {model_name!r}")

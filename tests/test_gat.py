@@ -123,3 +123,23 @@ def test_gat_learns_sbm():
     preds = np.asarray(model.apply(params, x, data.graph)).argmax(1)
     acc = (preds[data.idx_test] == np.asarray(data.labels)[data.idx_test]).mean()
     assert acc > 0.75, acc
+
+
+def test_gat_dropout_paths():
+    """dropout_rng enables input+attention dropout; eval path unchanged."""
+    g, _ = _random_graph(n=30, seed=2)
+    model = GAT(nfeat=6, nhid=4, nclass=3, heads=2, dropout=0.5)
+    params = model.init(jax.random.key(0))
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(30, 6)).astype(np.float32))
+
+    eval_out = model.apply(params, x, g)
+    eval_out2 = model.apply(params, x, g)  # deterministic without rng
+    np.testing.assert_array_equal(np.asarray(eval_out), np.asarray(eval_out2))
+
+    t1 = model.apply(params, x, g, dropout_rng=jax.random.key(1))
+    t2 = model.apply(params, x, g, dropout_rng=jax.random.key(2))
+    assert not np.allclose(np.asarray(t1), np.asarray(t2))
+    assert np.isfinite(np.asarray(t1)).all()
+    # log_softmax rows still normalize
+    np.testing.assert_allclose(np.exp(np.asarray(t1)).sum(1), 1.0, rtol=1e-5)
