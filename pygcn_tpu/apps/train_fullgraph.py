@@ -113,9 +113,14 @@ def main(argv=None):
         gat = GAT(nfeat=args.feat_dim, nhid=args.hidden, nclass=args.n_classes,
                   heads=args.gat_heads)
         params = gat.init(key)
+        edge_map = None
+        if graph.ell is not None:  # fused virtual-row softmax/aggregation
+            from pygcn_tpu.ops.gat import build_edge_map
+
+            edge_map = build_edge_map(graph)
 
         def forward(params, x):
-            return gat.apply(params, x, graph)
+            return gat.apply(params, x, graph, edge_map=edge_map)
     else:
         params = []
         for fi, fo in zip(dims[:-1], dims[1:]):

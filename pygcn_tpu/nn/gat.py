@@ -53,17 +53,25 @@ class GATConv(Module):
         return p
 
     def apply(self, params, x: jax.Array, graph: Graph,
-              attn_dropout=None) -> jax.Array:
+              attn_dropout=None, edge_map=None) -> jax.Array:
         n = x.shape[0]
         h, f = self.heads, self.out_features
         s = jnp.dot(x, params["w"]).reshape(n, h, f)
-        alpha = gat_attention(
-            graph, s, params["a_src"], params["a_dst"], self.negative_slope
-        )  # [E_pad, H]
-        if attn_dropout is not None:
-            drop, slot = attn_dropout
-            alpha = drop(slot, alpha)  # paper: dropout on the coefficients
-        out = attention_aggregate(graph, s, alpha)  # [N, H, F]
+        if edge_map is not None:
+            from pygcn_tpu.ops.gat import gat_conv_ell
+
+            out = gat_conv_ell(
+                graph, edge_map, s, params["a_src"], params["a_dst"],
+                self.negative_slope, attn_dropout=attn_dropout,
+            )
+        else:
+            alpha = gat_attention(
+                graph, s, params["a_src"], params["a_dst"], self.negative_slope
+            )  # [E_pad, H]
+            if attn_dropout is not None:
+                drop, slot = attn_dropout
+                alpha = drop(slot, alpha)  # paper: dropout on the coefficients
+            out = attention_aggregate(graph, s, alpha)  # [N, H, F]
         out = out.reshape(n, h * f) if self.concat else out.mean(axis=1)
         if "b" in params:
             out = out + params["b"]
@@ -102,9 +110,12 @@ class GAT(Module):
         return {name: m.init(keys[name]) for name, m in ch.items()}
 
     def apply(self, params, x: jax.Array, graph: Graph,
-              dropout_rng=None) -> jax.Array:
+              dropout_rng=None, edge_map=None) -> jax.Array:
         """Pass ``dropout_rng`` during training to enable the paper's
-        dropout on layer inputs and attention coefficients (eval: omit)."""
+        dropout on layer inputs and attention coefficients (eval: omit).
+        Pass ``edge_map`` (``ops.gat.build_edge_map``, needs the graph's ELL
+        layout) to run softmax/aggregation on virtual rows — the fast path
+        for power-law graphs."""
         ch = self._children()
         drop = None
         if dropout_rng is not None and self.dropout > 0.0:
@@ -112,17 +123,22 @@ class GAT(Module):
             keep = 1.0 - self.dropout
 
             def drop_fn(i, a):
-                m = jax.random.bernoulli(keys[i], keep, a.shape)
+                # i: key slot, or (slot, bucket) from the per-bucket fused path
+                k = (jax.random.fold_in(keys[i[0]], i[1])
+                     if isinstance(i, tuple) else keys[i])
+                m = jax.random.bernoulli(k, keep, a.shape)
                 return jnp.where(m, a / keep, 0.0)
 
             drop = drop_fn
         if drop is not None:
             x = drop(0, x)
         x = ch["gat1"].apply(params["gat1"], x, graph,
-                             attn_dropout=(drop, 1) if drop else None)
+                             attn_dropout=(drop, 1) if drop else None,
+                             edge_map=edge_map)
         x = jax.nn.elu(x)
         if drop is not None:
             x = drop(2, x)
         x = ch["gat2"].apply(params["gat2"], x, graph,
-                             attn_dropout=(drop, 3) if drop else None)
+                             attn_dropout=(drop, 3) if drop else None,
+                             edge_map=edge_map)
         return jax.nn.log_softmax(x, axis=1)

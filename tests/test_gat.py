@@ -143,3 +143,61 @@ def test_gat_dropout_paths():
     assert np.isfinite(np.asarray(t1)).all()
     # log_softmax rows still normalize
     np.testing.assert_allclose(np.exp(np.asarray(t1)).sum(1), 1.0, rtol=1e-5)
+
+
+def _ell_graph(n=60, density=0.08, seed=4):
+    m = sp.random(n, n, density=density, random_state=seed, format="coo")
+    m.data[:] = rngd = np.random.default_rng(seed).uniform(0.5, 2.0, m.nnz).astype(np.float32)
+    return Graph.from_scipy(
+        m.astype(np.float32), build_dense=False, build_bcsr=False, build_ell=True
+    ), m
+
+
+def test_edge_map_reconstructs_vals():
+    """eidx must align with the built ELL layout (native or NumPy builder):
+    gathering CSR edge weights through eidx reproduces ell.vals exactly."""
+    from pygcn_tpu.ops.gat import build_edge_map
+
+    g, m = _ell_graph()
+    em = build_edge_map(g)
+    csr_data = np.asarray(g.weights[: g.n_edges])  # canonical edge order
+    table = np.concatenate([
+        np.asarray(g.weights), np.zeros(1, np.float32)  # e_pad + sentinel
+    ])
+    for eidx, vals in zip(em.eidx, g.ell.vals):
+        got = table[np.asarray(eidx)]
+        np.testing.assert_array_equal(got, np.asarray(vals))
+
+
+def test_fused_ell_gat_matches_reference_path():
+    """Slot-native gat_conv_ell == the COO-segment path (softmax + aggregate),
+    and GATConv(edge_map=...) == GATConv() forward AND gradients."""
+    from pygcn_tpu.ops.gat import build_edge_map, gat_conv_ell
+
+    g, _ = _ell_graph()
+    em = build_edge_map(g)
+    rng = np.random.default_rng(5)
+    s = jnp.asarray(rng.normal(size=(60, 3, 4)).astype(np.float32))
+    a_src = jnp.asarray(rng.normal(size=(3, 4)).astype(np.float32))
+    a_dst = jnp.asarray(rng.normal(size=(3, 4)).astype(np.float32))
+
+    alpha_ref = gat_attention(g, s, a_src, a_dst)
+    out_ref = attention_aggregate(g, s, alpha_ref)
+    out_ell = gat_conv_ell(g, em, s, a_src, a_dst)
+    np.testing.assert_allclose(np.asarray(out_ell), np.asarray(out_ref),
+                               rtol=1e-4, atol=1e-5)
+
+    layer = GATConv(5, 4, heads=2)
+    params = layer.init(jax.random.key(1))
+    x = jnp.asarray(rng.normal(size=(60, 5)).astype(np.float32))
+
+    def loss(p, use_em):
+        out = layer.apply(p, x, g, edge_map=em if use_em else None)
+        return (out ** 2).sum()
+
+    l_ref, g_ref = jax.value_and_grad(loss)(params, False)
+    l_ell, g_ell = jax.value_and_grad(loss)(params, True)
+    np.testing.assert_allclose(float(l_ell), float(l_ref), rtol=1e-4)
+    for k in g_ref:
+        np.testing.assert_allclose(np.asarray(g_ell[k]), np.asarray(g_ref[k]),
+                                   rtol=2e-3, atol=1e-5)
