@@ -417,4 +417,8 @@ def get_model(config, model_name: str = "GCN") -> Module:
         from pygcn_tpu.nn.gat import GAT
 
         return GAT(config.gcn_nfeat, config.gcn_nhid, config.gcn_nclass)
+    if model_name == "SAGE":
+        from pygcn_tpu.nn.sage import SAGE
+
+        return SAGE(config.gcn_nfeat, config.gcn_nhid, config.gcn_nclass)
     raise ValueError(f"unknown model {model_name!r}")
