@@ -201,3 +201,4 @@ def test_fused_ell_gat_matches_reference_path():
     for k in g_ref:
         np.testing.assert_allclose(np.asarray(g_ell[k]), np.asarray(g_ref[k]),
                                    rtol=2e-3, atol=1e-5)
+
