@@ -12,6 +12,7 @@ __all__ = [
     "TPDistGCN",
     "PipelinedDeepGCN",
     "ExpertParallelMLP",
+    "DistGAT",
 ]
 
 
@@ -37,4 +38,8 @@ def __getattr__(name):
         from pygcn_tpu.parallel.moe import ExpertParallelMLP
 
         return ExpertParallelMLP
+    if name == "DistGAT":
+        from pygcn_tpu.parallel.dist_gat import DistGAT
+
+        return DistGAT
     raise AttributeError(name)
