@@ -30,6 +30,10 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--prefetch", type=int, default=2,
                     help="host-sampling lookahead depth (0 = serial)")
+    ap.add_argument("--model", choices=["gcn", "gat"], default="gcn",
+                    help="gat: attention over each sampled neighborhood "
+                         "(--hidden = per-head width)")
+    ap.add_argument("--gat_heads", type=int, default=4)
     ap.add_argument("--npz", default=None,
                     help="train on a real dataset in the .npz interchange "
                          "format instead of synthetic SBM data")
@@ -50,6 +54,7 @@ def main(argv=None):
         NeighborSampler,
         SampledBatch,
         iter_sampled_batches,
+        sampled_gat_forward,
         sampled_gcn_forward,
     )
     from pygcn_tpu.train import adam_l2
@@ -69,13 +74,35 @@ def main(argv=None):
     a = data.graph.to_scipy().tocsr()
     sampler = NeighborSampler(a, fanouts=args.fanouts, mode="gcn", seed=args.seed)
 
-    dims = [args.feat_dim] + [args.hidden] * (len(args.fanouts) - 1) + [data.n_classes]
     key = jax.random.key(args.seed)
     params = []
-    for fi, fo in zip(dims[:-1], dims[1:]):
-        key, kw, kb = jax.random.split(key, 3)
-        params.append({"w": tinit.graphconv_weight(kw, fi, fo),
-                       "b": tinit.graphconv_bias(kb, fo)})
+    if args.model == "gat":
+        # heads*hidden concat on inner layers, 1-head mean on the last
+        fwd = lambda p, b, x: sampled_gat_forward(p, b, x)
+        if len(args.fanouts) == 1:
+            layer_dims = [(args.feat_dim, 1, data.n_classes)]
+        else:
+            layer_dims = [(args.feat_dim, args.gat_heads, args.hidden)]
+            for _ in range(len(args.fanouts) - 2):
+                layer_dims.append(
+                    (args.gat_heads * args.hidden, args.gat_heads, args.hidden)
+                )
+            layer_dims.append((args.gat_heads * args.hidden, 1, data.n_classes))
+        for fi, heads, fo in layer_dims:
+            key, kw, ks_, kd, kb = jax.random.split(key, 5)
+            params.append({
+                "w": tinit.graphconv_weight(kw, fi, heads * fo),
+                "a_src": tinit.graphconv_weight(ks_, heads, fo),
+                "a_dst": tinit.graphconv_weight(kd, heads, fo),
+                "b": tinit.graphconv_bias(kb, heads * fo if heads > 1 else fo),
+            })
+    else:
+        fwd = sampled_gcn_forward
+        dims = [args.feat_dim] + [args.hidden] * (len(args.fanouts) - 1) + [data.n_classes]
+        for fi, fo in zip(dims[:-1], dims[1:]):
+            key, kw, kb = jax.random.split(key, 3)
+            params.append({"w": tinit.graphconv_weight(kw, fi, fo),
+                           "b": tinit.graphconv_bias(kb, fo)})
     tx = adam_l2(args.lr)
     opt_state = tx.init(params)
     x_all = jnp.asarray(data.features)
@@ -89,7 +116,7 @@ def main(argv=None):
     def step(params, opt_state, blocks, input_nodes, x_full, y):
         def loss_fn(p):
             batch = SampledBatch(blocks=blocks, input_nodes=None, output_nodes=None)
-            logits = sampled_gcn_forward(p, batch, x_full[input_nodes])
+            logits = fwd(p, batch, x_full[input_nodes])
             logp = jax.nn.log_softmax(logits, axis=1)
             return -jnp.take_along_axis(logp, y[:, None], axis=1).mean()
 
@@ -126,7 +153,7 @@ def main(argv=None):
     # test accuracy with a wider-fanout evaluation sample
     eval_sampler = NeighborSampler(a, fanouts=[f * 2 for f in args.fanouts], seed=1)
     batch = eval_sampler.sample(data.idx_test)
-    logits = sampled_gcn_forward(
+    logits = fwd(
         params, SampledBatch(blocks=batch.blocks, input_nodes=None, output_nodes=None),
         x_all[jnp.asarray(batch.input_nodes)],
     )

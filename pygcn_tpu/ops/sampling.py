@@ -255,3 +255,65 @@ def sampled_gcn_forward(params_list, batch: SampledBatch, x_input: jax.Array,
         if act is not None:
             h = act(h)
     return h
+
+
+def sampled_gat_forward(
+    params_list,
+    batch: SampledBatch,
+    x_input: jax.Array,
+    negative_slope: float = 0.2,
+    final_activation=None,
+):
+    """GAT over sampled neighborhoods: attention within each fixed-fanout block.
+
+    The minibatch counterpart of ``ops/gat.py`` (full-batch) — per output
+    node, the softmax runs over its K sampled neighbors (axis reduction, no
+    segment ops at all; the fixed fanout makes attention embarrassingly
+    regular on TPU). ``params_list``: per-layer dicts with ``w`` [F_in, H*F'],
+    ``a_src``/``a_dst`` [H, F'] and optional ``b``; multi-head concat on all
+    but the last layer, head-mean on the last (the standard GAT stacking),
+    ELU between layers. Sampled-with-replacement duplicates each count as
+    their own attention slot (same estimator flavour as the SAGE-mean path).
+    Zero-weight slots (padding / isolated nodes) are masked out of the
+    softmax; isolated nodes fall back to attending their own representation.
+    """
+    h = x_input
+    n_layers = len(params_list)
+    for i, (p, block) in enumerate(zip(params_list, batch.blocks)):
+        heads, fo = p["a_src"].shape
+        m, k = block.cols.shape
+        s = jnp.dot(h, p["w"]).reshape(h.shape[0], heads, fo)
+        lsrc = jnp.einsum("nhf,hf->nh", s, p["a_src"])
+        ldst = jnp.einsum("nhf,hf->nh", s, p["a_dst"])
+        # per-slot logits: neighbors' source logits + the output node's own
+        # destination logit (the node itself sits at block.self_idx)
+        e = jax.nn.leaky_relu(
+            jnp.take(lsrc, block.cols.reshape(-1), axis=0).reshape(m, k, heads)
+            + jnp.take(ldst, block.self_idx, axis=0)[:, None, :],
+            negative_slope,
+        )
+        valid = (block.weights > 0)[..., None]  # [m, k, 1]
+        e = jnp.where(valid, e, -jnp.inf)
+        emax = e.max(axis=1, keepdims=True)
+        emax = jnp.where(jnp.isfinite(emax), emax, 0.0)
+        ex = jnp.exp(e - emax) * valid
+        denom = jnp.maximum(ex.sum(axis=1, keepdims=True), 1e-16)
+        alpha = ex / denom  # [m, k, heads]; rows with no valid slots -> 0
+        g = jnp.take(s, block.cols.reshape(-1), axis=0).reshape(m, k, heads, fo)
+        out = (g * alpha[..., None]).sum(axis=1)  # [m, heads, fo]
+        # isolated nodes (no valid neighbors) keep their own transform
+        own = jnp.take(s, block.self_idx, axis=0)
+        has = valid.any(axis=1)  # [m, 1]
+        out = jnp.where(has[..., None], out, own)
+        if i < n_layers - 1:
+            h = out.reshape(m, heads * fo)
+            if "b" in p:
+                h = h + p["b"]
+            h = jax.nn.elu(h)
+        else:
+            h = out.mean(axis=1)
+            if "b" in p:
+                h = h + p["b"]
+            if final_activation is not None:
+                h = final_activation(h)
+    return h

@@ -230,6 +230,16 @@ def test_train_sampled():
     assert 0.0 <= acc <= 1.0
 
 
+def test_train_sampled_gat():
+    from pygcn_tpu.apps import train_sampled
+
+    acc = train_sampled.main([
+        "--n_nodes", "1500", "--fanouts", "4", "4", "--batch_size", "128",
+        "--epochs", "1", "--model", "gat", "--gat_heads", "2", "--hidden", "8",
+    ])
+    assert 0.0 <= acc <= 1.0
+
+
 def test_train_evaluator_data_parallel(gt_csv, tmp_path):
     from pygcn_tpu.apps import train_evaluator
 

@@ -175,3 +175,115 @@ def test_sampled_training_reaches_accuracy():
     )
     acc = float((np.asarray(logits).argmax(1) == y_all[data.idx_test]).mean())
     assert acc > 0.6, acc
+
+
+def test_sampled_gat_forward_matches_block_reference():
+    """Attention over sampled blocks == per-node numpy softmax reference."""
+    import scipy.sparse as sp
+
+    from pygcn_tpu.ops.sampling import sampled_gat_forward
+
+    m = sp.random(80, 80, density=0.06, random_state=6, format="coo")
+    a = sym_normalize(symmetrize_max(m))
+    sampler = NeighborSampler(a, fanouts=[4], mode="gcn", seed=5)
+    seeds = np.arange(30)
+    batch = sampler.sample(seeds)
+    block = batch.blocks[0]
+    n_in = batch.input_nodes.size
+
+    rng = np.random.default_rng(6)
+    heads, fo = 2, 3
+    x = rng.normal(size=(n_in, 5)).astype(np.float32)
+    p = {
+        "w": jnp.asarray(rng.normal(size=(5, heads * fo)).astype(np.float32)),
+        "a_src": jnp.asarray(rng.normal(size=(heads, fo)).astype(np.float32)),
+        "a_dst": jnp.asarray(rng.normal(size=(heads, fo)).astype(np.float32)),
+    }
+    got = np.asarray(sampled_gat_forward([p], batch, jnp.asarray(x)))
+
+    s = (x @ np.asarray(p["w"])).reshape(n_in, heads, fo)
+    cols = np.asarray(block.cols)
+    w = np.asarray(block.weights)
+    self_idx = np.asarray(block.self_idx)
+    want = np.zeros((30, fo))
+    for i in range(30):
+        valid = w[i] > 0
+        per_head = np.zeros((heads, fo))
+        for hh in range(heads):
+            if valid.any():
+                lsrc = s[cols[i], hh] @ np.asarray(p["a_src"][hh])
+                ldst = s[self_idx[i], hh] @ np.asarray(p["a_dst"][hh])
+                e = lsrc + ldst
+                e = np.where(e >= 0, e, 0.2 * e)
+                e = np.where(valid, e, -np.inf)
+                z = np.exp(e - e[valid].max())
+                z[~valid] = 0.0
+                alpha = z / z.sum()
+                per_head[hh] = alpha @ s[cols[i], hh]
+            else:
+                per_head[hh] = s[self_idx[i], hh]
+        want[i] = per_head.mean(0)  # single layer = last layer: head mean
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_sampled_gat_trains():
+    """2-layer sampled GAT learns SBM labels to reasonable accuracy."""
+    import optax
+
+    from pygcn_tpu.ops.sampling import sampled_gat_forward
+
+    data = sbm_classification(n=300, n_classes=3, feat_dim=32, seed=0)
+    a = data.graph.to_scipy().tocsr()
+    sampler = NeighborSampler(a, fanouts=[5, 5], mode="gcn", seed=0)
+
+    heads, fo, ncls = 2, 8, data.n_classes
+    key = jax.random.key(0)
+    ks = jax.random.split(key, 6)
+    params = [
+        {"w": tinit.graphconv_weight(ks[0], 32, heads * fo),
+         "a_src": tinit.graphconv_weight(ks[1], heads, fo),
+         "a_dst": tinit.graphconv_weight(ks[2], heads, fo),
+         "b": jnp.zeros(heads * fo)},
+        {"w": tinit.graphconv_weight(ks[3], heads * fo, 1 * ncls),
+         "a_src": tinit.graphconv_weight(ks[4], 1, ncls),
+         "a_dst": tinit.graphconv_weight(ks[5], 1, ncls),
+         "b": jnp.zeros(ncls)},
+    ]
+    tx = adam_l2(0.01, 5e-4)
+    opt_state = tx.init(params)
+    x_all = jnp.asarray(data.features)
+    y_all = np.asarray(data.labels)
+
+    @jax.jit
+    def step(params, opt_state, blocks, x_in, y):
+        def loss_fn(p):
+            from pygcn_tpu.ops.sampling import SampledBatch
+
+            batch = SampledBatch(blocks=blocks, input_nodes=None, output_nodes=None)
+            logits = sampled_gat_forward(p, batch, x_in)
+            logp = jax.nn.log_softmax(logits, axis=1)
+            return -jnp.take_along_axis(logp, y[:, None], axis=1).mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    rng = np.random.default_rng(0)
+    for epoch in range(60):
+        seeds = rng.choice(data.idx_train, 32, replace=False)
+        batch = sampler.sample(seeds, pad=True)
+        params, opt_state, loss = step(
+            params, opt_state, batch.blocks,
+            x_all[jnp.asarray(batch.input_nodes)],
+            jnp.asarray(y_all[seeds]),
+        )
+
+    eval_sampler = NeighborSampler(a, fanouts=[10, 10], mode="gcn", seed=1)
+    batch = eval_sampler.sample(data.idx_test)
+    from pygcn_tpu.ops.sampling import SampledBatch, sampled_gat_forward as f
+
+    logits = f(params, SampledBatch(blocks=batch.blocks, input_nodes=None,
+                                    output_nodes=None),
+               x_all[jnp.asarray(batch.input_nodes)])
+    acc = float((np.asarray(logits).argmax(1) == y_all[data.idx_test]).mean())
+    assert acc > 0.6, acc
