@@ -29,7 +29,7 @@ import os
 import numpy as np
 
 from pygcn_tpu.apps.common import World, build_synthetic_world, policy_outcomes
-from pygcn_tpu.sim.model import simulate
+from pygcn_tpu.sim.dist import simulate_policy_batch
 from pygcn_tpu.sim.policies import (
     assign_groups,
     get_separators,
@@ -37,33 +37,13 @@ from pygcn_tpu.sim.policies import (
 )
 
 
-_batch_sim_cache = {}
-
-
-def _batch_sim(params, visits, attack_vacs, keys, num_seeds: int):
-    """Module-level jitted batch simulation. Params/visits are explicit jit
-    arguments (device buffers) — closing over them would bake multi-hundred-MB
-    visit arrays into the compiled program as constants."""
-    import jax
-
-    def run(params, visits, attack_vacs, keys):
-        def one(attack_vac, k):
-            p = dataclasses.replace(params, attack_vac=attack_vac)
-            out = simulate(p, visits, num_seeds, k)
-            return out["history_C2"][-1], out["history_D2"][-1]
-
-        return jax.vmap(one)(attack_vacs, keys)
-
-    fn = _batch_sim_cache.get(num_seeds)
-    if fn is None:
-        fn = jax.jit(run)
-        _batch_sim_cache[num_seeds] = fn
-    return fn(params, visits, attack_vacs, keys)
-
-
-def batch_policy_outcomes(world: World, vac_vectors: np.ndarray, num_seeds: int, key, approx: bool = False):
+def batch_policy_outcomes(world: World, vac_vectors: np.ndarray, num_seeds: int, key,
+                          approx: bool = False, mesh=None):
     """Simulate a batch of vaccination vectors by vmapping over the
-    per-policy post-vaccination attack rates."""
+    per-policy post-vaccination attack rates; with ``mesh``, the batch is
+    sharded over the mesh's data axis (one simulator fan-out per chip —
+    the reference's multiprocessing pool as a mesh axis,
+    ``rl-policy-generator.py:308-321``)."""
     import jax
     import jax.numpy as jnp
 
@@ -75,7 +55,10 @@ def batch_policy_outcomes(world: World, vac_vectors: np.ndarray, num_seeds: int,
     )
 
     keys = jax.random.split(key, vac_vectors.shape[0])
-    hist_c, hist_d = _batch_sim(p, world.visits, attack_vacs, keys, num_seeds)
+    out = simulate_policy_batch(
+        p, world.visits, attack_vacs, keys, num_seeds, mesh=mesh
+    )
+    hist_c, hist_d = out["cases_cbg"], out["deaths_cbg"]
 
     rows = []
     for i in range(vac_vectors.shape[0]):
@@ -166,6 +149,9 @@ def main(argv=None):
     ap.add_argument("--quick_test", action="store_true")
     ap.add_argument("--approx", action="store_true",
                     help="hybrid fast count sampling (see sim.model.approx_draws)")
+    ap.add_argument("--shards", type=int, default=0,
+                    help="shard the policy batch over N devices (the reference's "
+                         "multiprocessing pool as a mesh data axis)")
     ap.add_argument("--out", required=True)
     args = ap.parse_args(argv)
 
@@ -178,6 +164,12 @@ def main(argv=None):
     if args.quick_test:
         args.num_seeds = 2
         args.num_samples = min(args.num_samples, 4)
+
+    mesh = None
+    if args.shards:
+        from pygcn_tpu.parallel import make_mesh
+
+        mesh = make_mesh([args.shards], ["data"])
 
     world = build_synthetic_world(
         n_cbgs=args.n_cbgs, n_pois=args.n_pois, hours=args.hours,
@@ -199,7 +191,8 @@ def main(argv=None):
         writer.writeheader()
         # row 0: no-vaccination baseline
         key, sub = jax.random.split(key)
-        rows = batch_policy_outcomes(world, np.zeros((1, world.n_cbgs)), args.num_seeds, sub, args.approx)
+        rows = batch_policy_outcomes(world, np.zeros((1, world.n_cbgs)),
+                                     args.num_seeds, sub, args.approx, mesh=mesh)
         writer.writerow(dict(zip(fields, ["[]"] + list(rows[0]))))
         fh.flush()
 
@@ -246,7 +239,8 @@ def main(argv=None):
                 for p in batch_policies
             ])
         key, sub = jax.random.split(key)
-        rows = batch_policy_outcomes(world, vectors, args.num_seeds, sub, args.approx)
+        rows = batch_policy_outcomes(world, vectors, args.num_seeds, sub,
+                                     args.approx, mesh=mesh)
         for p, r in zip(batch_policies, rows):
             writer.writerow(dict(zip(
                 fields, ["[" + ", ".join(map(str, p.tolist())) + "]"] + list(r)

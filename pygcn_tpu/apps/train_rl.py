@@ -48,6 +48,9 @@ def main(argv=None):
     ap.add_argument("--quicktest", action="store_true")
     ap.add_argument("--approx", action="store_true",
                     help="fast count sampling for the simulation oracle")
+    ap.add_argument("--shards", type=int, default=0,
+                    help="shard simulator fan-out over N devices (the reference's "
+                         "multiprocessing pool as a mesh data axis)")
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--n_cbgs", type=int, default=64)
     ap.add_argument("--n_pois", type=int, default=20)
@@ -70,6 +73,12 @@ def main(argv=None):
         args.num_seeds = 2
         args.episodes = min(args.episodes, 3)
         args.epoch_width = min(args.epoch_width, 8)
+
+    mesh = None
+    if args.shards:
+        from pygcn_tpu.parallel import make_mesh
+
+        mesh = make_mesh([args.shards], ["data"])
 
     os.makedirs(args.out_dir, exist_ok=True)
     world = build_synthetic_world(
@@ -108,7 +117,8 @@ def main(argv=None):
             ])
             nonlocal key
             key, sub = jax.random.split(key)
-            rows = batch_policy_outcomes(world, vectors, args.num_seeds, sub, args.approx)
+            rows = batch_policy_outcomes(world, vectors, args.num_seeds, sub,
+                                         args.approx, mesh=mesh)
             return [(r[0], r[1]) for r in rows]
 
         return cache.evaluate_batch(policies, evaluate)

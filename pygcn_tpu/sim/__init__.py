@@ -1,3 +1,4 @@
+from pygcn_tpu.sim.dist import simulate_policy_batch
 from pygcn_tpu.sim.model import (
     EpidemicParams,
     HostVisitSeq,
@@ -8,4 +9,5 @@ from pygcn_tpu.sim.model import (
 
 __all__ = [
     "EpidemicParams", "HostVisitSeq", "VisitSeq", "simulate", "simulate_paged",
+    "simulate_policy_batch",
 ]

@@ -41,7 +41,7 @@ def test_gt_gen_grouping_and_safety(tmp_path):
     gt_gen.main([
         "--out", path, "--num_samples", "4", "--batch", "4", "--num_seeds", "2",
         "--hours", "48", "--n_cbgs", "32", "--NN", "3",
-        "--grouping", "--safe_distance", "0.05",
+        "--grouping", "--safe_distance", "0.05", "--shards", "2",
     ])
     import pandas as pd
 

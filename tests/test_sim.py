@@ -284,6 +284,34 @@ def test_hour_rates_match_reference_formulas():
     np.testing.assert_allclose(np.asarray(out_pre["base_rates"]), base_pre, rtol=1e-5, atol=1e-6)
 
 
+def test_simulate_policy_batch_mesh_matches_vmap():
+    """simulate_policy_batch: the mesh-sharded fan-out is bit-identical to the
+    single-device vmap, including when the batch does not divide the mesh
+    axis (the pad-and-trim path)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from pygcn_tpu.parallel import make_mesh
+    from pygcn_tpu.sim import simulate_policy_batch
+
+    params, visits, _ = tiny_world(hours=24)
+    params = dataclasses.replace(params, approx_draws=True)
+    mesh = make_mesh([8], ["data"])
+
+    batch = 11  # deliberately not a multiple of 8: exercises padding
+    attack_vacs = jnp.tile(params.attack_orig[None], (batch, 1)) * jnp.linspace(
+        0.4, 1.0, batch
+    )[:, None]
+    keys = jax.random.split(jax.random.key(7), batch)
+
+    ref = simulate_policy_batch(params, visits, attack_vacs, keys, 2)
+    out = simulate_policy_batch(params, visits, attack_vacs, keys, 2, mesh=mesh)
+    assert out["cases_cbg"].shape[0] == batch
+    for k in ref:
+        np.testing.assert_array_equal(np.asarray(ref[k]), np.asarray(out[k]))
+
+
 def test_batch_simulation_sharded_over_devices():
     """The vmapped policy batch shards over the device mesh (the reference's
     multiprocessing fan-out as a mesh axis)."""
