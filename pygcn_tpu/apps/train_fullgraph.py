@@ -35,9 +35,11 @@ def main(argv=None):
     ap.add_argument("--remat", action="store_true",
                     help="rematerialize layer activations in the backward pass "
                          "(trade FLOPs for HBM on deep/wide configs)")
-    ap.add_argument("--model", choices=["gcn", "gat"], default="gcn",
+    ap.add_argument("--model", choices=["gcn", "gat", "sage", "gin", "appnp"],
+                    default="gcn",
                     help="gat: 2-layer multi-head graph attention "
-                         "(--hidden = per-head width)")
+                         "(--hidden = per-head width); sage/gin/appnp: "
+                         "2-layer extension families from nn/")
     ap.add_argument("--gat_heads", type=int, default=8)
     ap.add_argument("--shards", type=int, default=1,
                     help="partition the graph over this many devices "
@@ -121,6 +123,19 @@ def main(argv=None):
 
         def forward(params, x):
             return gat.apply(params, x, graph, edge_map=edge_map)
+    elif args.model in ("sage", "gin", "appnp"):
+        from pygcn_tpu.nn.gin import APPNP, GIN
+        from pygcn_tpu.nn.sage import SAGE
+
+        cls = {"sage": SAGE, "gin": GIN, "appnp": APPNP}[args.model]
+        # note: the adjacency here is sym-normalized; GIN's canonical sum
+        # aggregator wants raw weights — with A_hat it runs as a
+        # degree-weighted variant (fine for throughput/learning demos)
+        model = cls(args.feat_dim, args.hidden, args.n_classes)
+        params = model.init(key)
+
+        def forward(params, x):
+            return model.apply(params, x, graph)
     else:
         params = []
         for fi, fo in zip(dims[:-1], dims[1:]):

@@ -421,4 +421,12 @@ def get_model(config, model_name: str = "GCN") -> Module:
         from pygcn_tpu.nn.sage import SAGE
 
         return SAGE(config.gcn_nfeat, config.gcn_nhid, config.gcn_nclass)
+    if model_name == "GIN":
+        from pygcn_tpu.nn.gin import GIN
+
+        return GIN(config.gcn_nfeat, config.gcn_nhid, config.gcn_nclass)
+    if model_name == "APPNP":
+        from pygcn_tpu.nn.gin import APPNP
+
+        return APPNP(config.gcn_nfeat, config.gcn_nhid, config.gcn_nclass)
     raise ValueError(f"unknown model {model_name!r}")

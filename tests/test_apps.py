@@ -208,6 +208,18 @@ def test_train_fullgraph_gat():
     assert dt > 0
 
 
+def test_train_fullgraph_extension_models():
+    from pygcn_tpu.apps import train_fullgraph
+
+    for model in ("sage", "gin", "appnp"):
+        dt = train_fullgraph.main([
+            "--n_nodes", "400", "--avg_degree", "5", "--feat_dim", "8",
+            "--hidden", "8", "--n_classes", "3", "--epochs", "2",
+            "--model", model,
+        ])
+        assert dt > 0, model
+
+
 def test_train_fullgraph_sharded():
     """--shards N drives the halo-exchange DistGCN path from the CLI."""
     from pygcn_tpu.apps import train_fullgraph
