@@ -314,6 +314,10 @@ def main(argv=None):
                     "linear_nin", "linear_nhid1", "linear_nhid2", "linear_nout")},
                 "params": jax.tree.map(np.asarray, params),
                 "dim_touched": dim_touched,
+                "feature_mode": {
+                    "with_pretrained_embed": args.with_pretrained_embed,
+                    "with_original_feat": args.with_original_feat,
+                },
                 "test_loss": test_loss,
                 "test_spearman": test_corr,
             },

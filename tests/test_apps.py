@@ -80,6 +80,41 @@ def test_train_evaluator_and_generator(gt_csv, tmp_path):
     assert len(results) >= 1
 
 
+def test_predict_serving(gt_csv, tmp_path):
+    """Batch-inference CLI: pkl mode, export artifact, and from-export mode
+    produce identical predictions."""
+    import pandas as pd
+
+    from pygcn_tpu.apps import predict, train_evaluator
+
+    out_dir = str(tmp_path / "eval_srv")
+    train_evaluator.main([
+        "--vac_result_path", gt_csv, "--out_dir", out_dir,
+        "--epochs", "1", "--n_cbgs", "32", "--hours", "48", "--NN", "4",
+        "--batch_size", "4",
+    ])
+    ev = os.path.join(out_dir, "evaluator.pkl")
+    common = ["--n_cbgs", "32", "--hours", "48", "--NN", "4", "--batch", "8"]
+
+    out1 = str(tmp_path / "preds1.csv")
+    art = str(tmp_path / "evaluator.shlo")
+    preds1 = predict.main([
+        "--evaluator", ev, "--policies_csv", gt_csv, "--random", "3",
+        "--out", out1, "--export", art, *common,
+    ])
+    df = pd.read_csv(out1)
+    assert list(df.columns) == ["Vaccinated_Idxs", "Prediction"]
+    assert len(df) == len(preds1) and len(preds1) == 13 + 3  # csv rows + random
+    assert np.isfinite(preds1).all()
+
+    out2 = str(tmp_path / "preds2.csv")
+    preds2 = predict.main([
+        "--from_export", art, "--policies_csv", gt_csv, "--random", "3",
+        "--out", out2, *common,
+    ])
+    np.testing.assert_array_equal(preds1, preds2)
+
+
 def test_train_evaluator_bf16(gt_csv, tmp_path):
     """--bf16 (bf16 compute, f32 master params) trains to a finite loss."""
     from pygcn_tpu.apps import train_evaluator
