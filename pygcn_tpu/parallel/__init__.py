@@ -13,6 +13,8 @@ __all__ = [
     "PipelinedDeepGCN",
     "ExpertParallelMLP",
     "DistGAT",
+    "DistSAGE",
+    "DistAPPNP",
 ]
 
 
@@ -42,4 +44,12 @@ def __getattr__(name):
         from pygcn_tpu.parallel.dist_gat import DistGAT
 
         return DistGAT
+    if name == "DistSAGE":
+        from pygcn_tpu.parallel.dist_sage import DistSAGE
+
+        return DistSAGE
+    if name == "DistAPPNP":
+        from pygcn_tpu.parallel.dist_sage import DistAPPNP
+
+        return DistAPPNP
     raise AttributeError(name)
