@@ -37,6 +37,9 @@ def main(argv=None):
     ap.add_argument("--npz", default=None,
                     help="train on a real dataset in the .npz interchange "
                          "format instead of synthetic SBM data")
+    ap.add_argument("--shards", type=int, default=1,
+                    help="data-parallel shards over a 'data' device mesh; "
+                         "--batch_size is the GLOBAL batch (must divide)")
     args = ap.parse_args(argv)
 
     from pygcn_tpu.apps.common import set_process_title
@@ -108,6 +111,26 @@ def main(argv=None):
     x_all = jnp.asarray(data.features)
     y_all = np.asarray(data.labels)
 
+    dp_step = sample_fn = None
+    if args.shards > 1:
+        # data-parallel: global batch split over a 'data' mesh axis; each
+        # shard samples its own neighborhood host-side, grads pmean over ICI
+        from pygcn_tpu.parallel.dp_sampled import (
+            ShardedNeighborSampler,
+            make_dp_sampled_step,
+        )
+        from pygcn_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh([args.shards], ("data",))
+        sample_fn = ShardedNeighborSampler(sampler, args.shards)
+        dp_step = make_dp_sampled_step(mesh, fwd, tx)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        repl = NamedSharding(mesh, P())
+        x_all = jax.device_put(x_all, repl)
+        params = jax.device_put(params, repl)
+        opt_state = jax.device_put(opt_state, repl)
+
     # x_all stays device-resident; the step receives node INDICES and gathers
     # on device (only indices + block metadata cross host->device per batch).
     # Sampled batches are pow2-padded so the step compiles O(log) times, not
@@ -139,13 +162,23 @@ def main(argv=None):
     n_batches = 0
     for epoch in range(args.epochs):
         for seeds, batch in iter_sampled_batches(
-            sampler, epoch_seed_batches(), prefetch=args.prefetch, pad=True
+            sampler, epoch_seed_batches(), prefetch=args.prefetch, pad=True,
+            sample_fn=sample_fn,
         ):
-            params, opt_state, loss = step(
-                params, opt_state, batch.blocks,
-                jnp.asarray(batch.input_nodes), x_all,
-                jnp.asarray(y_all[seeds]),
-            )
+            if dp_step is not None:
+                blocks_d, in_d, y_d = dp_step.place(
+                    batch.blocks, batch.input_nodes,
+                    y_all[batch.output_nodes],
+                )
+                params, opt_state, loss = dp_step(
+                    params, opt_state, blocks_d, in_d, x_all, y_d
+                )
+            else:
+                params, opt_state, loss = step(
+                    params, opt_state, batch.blocks,
+                    jnp.asarray(batch.input_nodes), x_all,
+                    jnp.asarray(y_all[seeds]),
+                )
             n_batches += 1
     loss_val = float(loss)
     dt = time.time() - t0

@@ -115,6 +115,29 @@ class NeighborSampler:
         on TPU. Padding is appended after sampling (node id 0, zero weights),
         so the sampled values on real rows are identical to ``pad=False``.
         """
+        blocks_np, input_nodes = self.sample_np(seeds, pad=pad)
+        blocks = [
+            SampledBlock(
+                cols=jnp.asarray(cols_local),
+                weights=jnp.asarray(weights),
+                self_idx=jnp.asarray(self_idx),
+            )
+            for cols_local, weights, self_idx in blocks_np
+        ]
+        return SampledBatch(
+            blocks=blocks, input_nodes=input_nodes,
+            output_nodes=np.asarray(seeds, np.int64),
+        )
+
+    def sample_np(self, seeds: np.ndarray, pad: bool = False):
+        """Host-side core of :meth:`sample`.
+
+        Returns ``(blocks, input_nodes)`` where ``blocks`` is an
+        innermost-first list of ``(cols[m,K] int32, weights[m,K] f32,
+        self_idx[m] int32)`` NumPy triples. Kept NumPy so multi-shard
+        callers (``parallel/dp_sampled.py``) can re-pad and stack shard
+        batches before a single device transfer.
+        """
         from pygcn_tpu.utils.native import available, unique_inverse
 
         if self._uniq_scratch is None and available():
@@ -160,18 +183,12 @@ class NeighborSampler:
                 padded_meta.append((cols_local, weights, self_idx, onodes))
             blocks_meta = padded_meta
 
-        blocks = []
-        for cols_local, weights, self_idx, _ in reversed(blocks_meta):
-            blocks.append(
-                SampledBlock(
-                    cols=jnp.asarray(cols_local.astype(np.int32)),
-                    weights=jnp.asarray(weights.astype(np.float32)),
-                    self_idx=jnp.asarray(self_idx.astype(np.int32)),
-                )
-            )
-        return SampledBatch(
-            blocks=blocks, input_nodes=out_nodes, output_nodes=seeds
-        )
+        blocks = [
+            (cols_local.astype(np.int32), weights.astype(np.float32),
+             self_idx.astype(np.int32))
+            for cols_local, weights, self_idx, _ in reversed(blocks_meta)
+        ]
+        return blocks, out_nodes
 
 
 def iter_sampled_batches(
@@ -179,6 +196,7 @@ def iter_sampled_batches(
     seed_batches,
     prefetch: int = 2,
     pad: bool = False,
+    sample_fn=None,
 ):
     """Yield ``(seeds, SampledBatch)`` with host sampling overlapped.
 
@@ -188,12 +206,16 @@ def iter_sampled_batches(
     device step instead of serializing with it. One producer keeps the
     sampler's RNG stream identical to the serial loop; the native
     ``gk_unique_inverse`` ctypes call releases the GIL, so the overlap is
-    real. ``prefetch=0`` degrades to the serial loop.
+    real. ``prefetch=0`` degrades to the serial loop. ``sample_fn`` overrides
+    how a seed batch becomes a device batch (default ``sampler.sample``; the
+    data-parallel path passes a shard-group sampler here).
     """
+    if sample_fn is None:
+        sample_fn = lambda seeds: sampler.sample(seeds, pad=pad)
     seed_batches = list(seed_batches)
     if prefetch <= 0:
         for seeds in seed_batches:
-            yield seeds, sampler.sample(seeds, pad=pad)
+            yield seeds, sample_fn(seeds)
         return
 
     import queue
@@ -208,7 +230,7 @@ def iter_sampled_batches(
             for seeds in seed_batches:
                 if stop.is_set():
                     return
-                q.put((seeds, sampler.sample(seeds, pad=pad)))
+                q.put((seeds, sample_fn(seeds)))
         except BaseException as e:  # propagate into the consumer
             q.put(e)
             return

@@ -1,0 +1,201 @@
+"""Data-parallel neighborhood-sampled training over a device mesh.
+
+No reference counterpart (the reference is single-device, full-batch;
+``pygcn/train.py:30`` pins one GPU). This is the scale-out mode for the
+sampled path (``ops/sampling.py``): the global seed batch is split over the
+mesh ``data`` axis, each shard samples its own fixed-fanout neighborhood
+host-side, and one jitted step runs every shard's forward/backward in SPMD
+with a single gradient ``pmean`` over ICI.
+
+TPU-first design choices:
+
+- **Stacked static shapes.** Each shard's sampled batch is pow2-padded
+  (``NeighborSampler.sample_np(pad=True)``) and then re-padded to the group
+  max per layer, so the stacked pytree (leading axis = shard) keeps the
+  O(log) distinct-shape property — the step compiles a handful of times,
+  never per minibatch.
+- **One transfer, no host loop.** All shards' blocks are stacked host-side
+  (NumPy) and cross host→device as one sharded pytree; devices never wait on
+  per-shard Python dispatch.
+- **Features stay resident.** ``x_full`` is replicated on device; only seed
+  indices and block metadata move per step, exactly like the single-device
+  sampled path.
+- **Gradient exchange is a single ``pmean``** over the ``data`` axis inside
+  ``shard_map`` — the XLA all-reduce rides ICI; the optimizer update runs
+  replicated (identical on every shard after the reduce).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from pygcn_tpu.ops.sampling import NeighborSampler, SampledBatch, SampledBlock
+
+
+def stack_shard_batches(
+    shard_samples: Sequence[Tuple[list, np.ndarray]],
+) -> Tuple[List[SampledBlock], np.ndarray]:
+    """Stack G host-side sampled batches into one leading-shard-axis pytree.
+
+    ``shard_samples``: per-shard ``NeighborSampler.sample_np(seeds, pad=True)``
+    results — innermost-first ``(cols[m,K], weights[m,K], self_idx[m])``
+    triples plus the deduped ``input_nodes``. Per-layer dims are re-padded to
+    the group max (max of powers of two is a power of two, so the O(log)
+    distinct-shape property survives stacking). Padding rows replicate the
+    single-shard convention: node-set entry 0 with zero weight, never
+    referenced by real rows.
+
+    Returns ``(blocks, input_nodes)`` where each ``SampledBlock`` field has a
+    leading shard axis (``cols [G,m,K]``, ``weights [G,m,K]``,
+    ``self_idx [G,m]``) and ``input_nodes`` is ``[G, n_in]`` int32.
+    """
+    n_layers = len(shard_samples[0][0])
+    blocks: List[SampledBlock] = []
+    for d in range(n_layers):
+        m_pad = max(s[0][d][0].shape[0] for s in shard_samples)
+        cols = np.stack([
+            _pad_rows(s[0][d][0], m_pad) for s in shard_samples
+        ])
+        weights = np.stack([
+            _pad_rows(s[0][d][1], m_pad) for s in shard_samples
+        ])
+        self_idx = np.stack([
+            _pad_rows(s[0][d][2], m_pad) for s in shard_samples
+        ])
+        blocks.append(
+            SampledBlock(
+                cols=jnp.asarray(cols),
+                weights=jnp.asarray(weights),
+                self_idx=jnp.asarray(self_idx),
+            )
+        )
+    n_in_pad = max(s[1].size for s in shard_samples)
+    input_nodes = np.stack([
+        _pad_rows(s[1].astype(np.int32), n_in_pad) for s in shard_samples
+    ])
+    return blocks, input_nodes
+
+
+def _pad_rows(a: np.ndarray, m: int) -> np.ndarray:
+    if a.shape[0] == m:
+        return a
+    pad = np.zeros((m - a.shape[0],) + a.shape[1:], a.dtype)
+    return np.concatenate([a, pad])
+
+
+class ShardedNeighborSampler:
+    """Drop-in ``sample_fn`` for ``iter_sampled_batches`` over G shards.
+
+    Splits each global seed batch into ``n_shards`` equal slices, samples each
+    with the wrapped single-graph sampler (one deterministic counter-based RNG
+    stream, sequential per shard), and stacks the results. The global batch
+    size must be divisible by ``n_shards``.
+    """
+
+    def __init__(self, sampler: NeighborSampler, n_shards: int):
+        self.sampler = sampler
+        self.n_shards = int(n_shards)
+
+    def __call__(self, seeds: np.ndarray):
+        seeds = np.asarray(seeds, np.int64)
+        if seeds.size % self.n_shards:
+            raise ValueError(
+                f"global batch {seeds.size} not divisible by "
+                f"{self.n_shards} shards"
+            )
+        shard_seeds = seeds.reshape(self.n_shards, -1)
+        samples = [self.sampler.sample_np(s, pad=True) for s in shard_seeds]
+        blocks, input_nodes = stack_shard_batches(samples)
+        return SampledBatch(
+            blocks=blocks, input_nodes=input_nodes, output_nodes=shard_seeds
+        )
+
+
+def make_dp_sampled_step(
+    mesh: Mesh,
+    fwd: Callable,
+    optimizer,
+    loss: str = "xent",
+    axis: str = "data",
+):
+    """Build a jitted data-parallel train step for stacked sampled batches.
+
+    ``fwd(params, SampledBatch, x_input) -> [B, C]`` is any single-shard
+    sampled forward (``sampled_gcn_forward`` / ``sampled_gat_forward``).
+    The returned ``step(params, opt_state, blocks, input_nodes, x_full, y)``
+    expects the stacked pytree from :func:`stack_shard_batches` /
+    :class:`ShardedNeighborSampler` (leading axis = shard) with ``y [G, B]``;
+    params / optimizer state / ``x_full`` are replicated. Loss is the mean
+    over the global batch; gradients are ``pmean``-reduced over ``axis``.
+
+    ``loss='xent'``: softmax cross-entropy with int labels; ``loss='mse'``:
+    mean squared error on ``fwd``'s squeezed scalar output.
+    """
+    from jax import shard_map
+
+    def local_loss(params, blocks_local, input_nodes, x_full, y):
+        batch = SampledBatch(
+            blocks=blocks_local, input_nodes=None, output_nodes=None
+        )
+        out = fwd(params, batch, x_full[input_nodes])
+        if loss == "mse":
+            return jnp.mean((out[:, 0] - y) ** 2)
+        logp = jax.nn.log_softmax(out, axis=1)
+        return -jnp.take_along_axis(logp, y[:, None], axis=1).mean()
+
+    def shard_grads(params, blocks, input_nodes, x_full, y):
+        # local leading dim is 1 after sharding: squeeze to per-shard shapes
+        blocks_local = [
+            SampledBlock(
+                cols=b.cols[0], weights=b.weights[0], self_idx=b.self_idx[0]
+            )
+            for b in blocks
+        ]
+        l, g = jax.value_and_grad(local_loss)(
+            params, blocks_local, input_nodes[0], x_full, y[0]
+        )
+        return (
+            jax.lax.pmean(l, axis),
+            jax.tree.map(lambda t: jax.lax.pmean(t, axis), g),
+        )
+
+    block_spec = SampledBlock(cols=P(axis), weights=P(axis), self_idx=P(axis))
+
+    @jax.jit
+    def step(params, opt_state, blocks, input_nodes, x_full, y):
+        smapped = shard_map(
+            shard_grads,
+            mesh=mesh,
+            in_specs=(P(), [block_spec] * len(blocks), P(axis), P(), P(axis)),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        l, grads = smapped(params, blocks, input_nodes, x_full, y)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, l
+
+    def place(blocks, input_nodes, y):
+        """Device-put a stacked batch with the right shardings."""
+        shard = NamedSharding(mesh, P(axis))
+        blocks = [
+            SampledBlock(
+                cols=jax.device_put(b.cols, shard),
+                weights=jax.device_put(b.weights, shard),
+                self_idx=jax.device_put(b.self_idx, shard),
+            )
+            for b in blocks
+        ]
+        return (
+            blocks,
+            jax.device_put(jnp.asarray(input_nodes), shard),
+            jax.device_put(jnp.asarray(y), shard),
+        )
+
+    step.place = place
+    return step
