@@ -40,6 +40,10 @@ def main(argv=None):
     ap.add_argument("--shards", type=int, default=1,
                     help="data-parallel shards over a 'data' device mesh; "
                          "--batch_size is the GLOBAL batch (must divide)")
+    ap.add_argument("--sample_workers", type=int, default=0,
+                    help="host threads for per-shard sampling (bit-identical "
+                         "to serial; pays off for large per-shard batches, "
+                         "~1k+ seeds; needs --shards > 1)")
     args = ap.parse_args(argv)
 
     from pygcn_tpu.apps.common import set_process_title
@@ -122,7 +126,9 @@ def main(argv=None):
         from pygcn_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh([args.shards], ("data",))
-        sample_fn = ShardedNeighborSampler(sampler, args.shards)
+        sample_fn = ShardedNeighborSampler(
+            sampler, args.shards, workers=args.sample_workers
+        )
         dp_step = make_dp_sampled_step(mesh, fwd, tx)
         from jax.sharding import NamedSharding, PartitionSpec as P
 

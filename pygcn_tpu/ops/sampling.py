@@ -88,22 +88,27 @@ class NeighborSampler:
         # allocated lazily, reused (and re-zeroed) across sample() calls
         self._uniq_scratch: np.ndarray | None = None
 
-    def _sample_layer(self, out_nodes: np.ndarray, k: int):
+    def _sample_layer(self, out_nodes: np.ndarray, k: int, draw: int):
         # Counter-based splitmix64 draws (pick (i,j) = mix64(base + i*k + j)
-        # % deg): deterministic in (seed, call index), bit-identical between
+        # % deg): deterministic in (seed, draw counter), bit-identical between
         # the fused native kernel and the NumPy fallback, and GIL-releasing
         # when native, so prefetch-threaded sampling truly overlaps.
         from pygcn_tpu.utils.native import _mix64, sample_layer
 
-        # hash the FULL 64-bit seed before mixing in the call counter, so
+        # hash the FULL 64-bit seed before mixing in the draw counter, so
         # seeds differing only in high bits get distinct streams and the
         # counter cannot alias the seed field
-        base = _mix64(_mix64(self.seed & (2**64 - 1)) ^ self._n_draws)
-        self._n_draws += 1
+        base = _mix64(_mix64(self.seed & (2**64 - 1)) ^ draw)
         return sample_layer(
             self.indptr, self.indices, self.data, out_nodes, k, base,
             mode=self.mode,
         )
+
+    def make_scratch(self) -> "np.ndarray | None":
+        """Allocate a dedup scratch table for concurrent ``sample_np`` calls."""
+        from pygcn_tpu.utils.native import available
+
+        return np.zeros(self.n, np.int32) if available() else None
 
     def sample(self, seeds: np.ndarray, pad: bool = False) -> SampledBatch:
         """Sample a layered minibatch.
@@ -129,7 +134,8 @@ class NeighborSampler:
             output_nodes=np.asarray(seeds, np.int64),
         )
 
-    def sample_np(self, seeds: np.ndarray, pad: bool = False):
+    def sample_np(self, seeds: np.ndarray, pad: bool = False,
+                  draw_base: "int | None" = None, scratch=None):
         """Host-side core of :meth:`sample`.
 
         Returns ``(blocks, input_nodes)`` where ``blocks`` is an
@@ -137,19 +143,38 @@ class NeighborSampler:
         self_idx[m] int32)`` NumPy triples. Kept NumPy so multi-shard
         callers (``parallel/dp_sampled.py``) can re-pad and stack shard
         batches before a single device transfer.
+
+        Each call consumes ``len(fanouts)`` RNG draw counters. By default
+        they come off the sampler's sequential stream; concurrent callers
+        pass an explicit ``draw_base`` (plus their own ``scratch`` from
+        :meth:`make_scratch`) to get bit-identical results in any execution
+        order — the sampler's own counter is then left untouched.
         """
         from pygcn_tpu.utils.native import available, unique_inverse
 
-        if self._uniq_scratch is None and available():
-            self._uniq_scratch = np.zeros(self.n, np.int32)
+        sequential = draw_base is None
+        if sequential:
+            draw_base = self._n_draws
+            self._n_draws += len(self.fanouts)
+        if scratch is None:
+            if self._uniq_scratch is None and available():
+                self._uniq_scratch = np.zeros(self.n, np.int32)
+            if not sequential and self._uniq_scratch is not None:
+                raise ValueError(
+                    "concurrent sample_np calls must pass their own scratch "
+                    "(make_scratch()) — the shared table is not thread-safe"
+                )
+            scratch = self._uniq_scratch
         seeds = np.asarray(seeds, np.int64)
         blocks_meta = []
         out_nodes = seeds
         # build from the outermost (last) layer inward
-        for k in reversed(self.fanouts):
-            cols_global, weights = self._sample_layer(out_nodes, k)
+        for li, k in enumerate(reversed(self.fanouts)):
+            cols_global, weights = self._sample_layer(
+                out_nodes, k, draw_base + li
+            )
             need = np.concatenate([out_nodes, cols_global.reshape(-1)])
-            in_nodes, inverse = unique_inverse(need, self.n, self._uniq_scratch)
+            in_nodes, inverse = unique_inverse(need, self.n, scratch)
             self_idx = inverse[: out_nodes.size]
             cols_local = inverse[out_nodes.size :].reshape(cols_global.shape)
             blocks_meta.append((cols_local, weights, self_idx, out_nodes))

@@ -93,14 +93,36 @@ class ShardedNeighborSampler:
     """Drop-in ``sample_fn`` for ``iter_sampled_batches`` over G shards.
 
     Splits each global seed batch into ``n_shards`` equal slices, samples each
-    with the wrapped single-graph sampler (one deterministic counter-based RNG
-    stream, sequential per shard), and stacks the results. The global batch
-    size must be divisible by ``n_shards``.
+    with the wrapped single-graph sampler, and stacks the results. The global
+    batch size must be divisible by ``n_shards``.
+
+    ``workers > 1`` samples the shards on a thread pool: the RNG is
+    counter-based, so per-shard draw counters are pre-assigned (shard ``g`` of
+    group call ``c`` gets counters ``(c*G + g) * n_layers ...``) — exactly the
+    counters the sequential loop would consume — and each worker slot owns its
+    dedup scratch table, making the threaded result **bit-identical** to
+    ``workers=0`` in any completion order. The native sampling/dedup kernels
+    release the GIL, so the speedup is real — but only once per-shard batches
+    are large enough to amortize pool dispatch and the GIL-held NumPy
+    glue (measured on this host: 4096-seed shards 50→35 ms/group, 1.4x;
+    512-seed shards regress 10→19 ms). Default stays serial.
     """
 
-    def __init__(self, sampler: NeighborSampler, n_shards: int):
+    def __init__(self, sampler: NeighborSampler, n_shards: int,
+                 workers: int = 0):
         self.sampler = sampler
         self.n_shards = int(n_shards)
+        self._pool = None
+        if workers > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pool = ThreadPoolExecutor(
+                min(workers, self.n_shards),
+                thread_name_prefix="shard-sampler",
+            )
+            self._scratches = [
+                sampler.make_scratch() for _ in range(self.n_shards)
+            ]
 
     def __call__(self, seeds: np.ndarray):
         seeds = np.asarray(seeds, np.int64)
@@ -110,7 +132,23 @@ class ShardedNeighborSampler:
                 f"{self.n_shards} shards"
             )
         shard_seeds = seeds.reshape(self.n_shards, -1)
-        samples = [self.sampler.sample_np(s, pad=True) for s in shard_seeds]
+        if self._pool is None:
+            samples = [
+                self.sampler.sample_np(s, pad=True) for s in shard_seeds
+            ]
+        else:
+            n_layers = len(self.sampler.fanouts)
+            base = self.sampler._n_draws
+            self.sampler._n_draws = base + self.n_shards * n_layers
+            samples = list(
+                self._pool.map(
+                    lambda gs: self.sampler.sample_np(
+                        gs[1], pad=True, draw_base=base + gs[0] * n_layers,
+                        scratch=self._scratches[gs[0]],
+                    ),
+                    enumerate(shard_seeds),
+                )
+            )
         blocks, input_nodes = stack_shard_batches(samples)
         return SampledBatch(
             blocks=blocks, input_nodes=input_nodes, output_nodes=shard_seeds

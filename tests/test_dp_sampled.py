@@ -135,6 +135,33 @@ def test_dp_step_matches_shard_grad_average(setup):
         )
 
 
+def test_threaded_group_sampling_bit_identical(setup):
+    data, a, params = setup
+    rng = np.random.default_rng(3)
+    seeds = rng.choice(data.idx_train, size=G * B, replace=True)
+
+    serial = ShardedNeighborSampler(
+        NeighborSampler(a, fanouts=[3, 2], seed=11), G
+    )
+    threaded = ShardedNeighborSampler(
+        NeighborSampler(a, fanouts=[3, 2], seed=11), G, workers=4
+    )
+    for _ in range(3):  # multiple group calls advance the shared counter
+        bs = serial(seeds)
+        bt = threaded(seeds)
+        np.testing.assert_array_equal(bs.input_nodes, bt.input_nodes)
+        for s_blk, t_blk in zip(bs.blocks, bt.blocks):
+            np.testing.assert_array_equal(
+                np.asarray(s_blk.cols), np.asarray(t_blk.cols)
+            )
+            np.testing.assert_array_equal(
+                np.asarray(s_blk.weights), np.asarray(t_blk.weights)
+            )
+            np.testing.assert_array_equal(
+                np.asarray(s_blk.self_idx), np.asarray(t_blk.self_idx)
+            )
+
+
 def test_sharded_sampler_rejects_indivisible(setup):
     data, a, params = setup
     sampler = NeighborSampler(a, fanouts=[2], seed=0)
