@@ -35,11 +35,13 @@ def main(argv=None):
     ap.add_argument("--remat", action="store_true",
                     help="rematerialize layer activations in the backward pass "
                          "(trade FLOPs for HBM on deep/wide configs)")
-    ap.add_argument("--model", choices=["gcn", "gat", "sage", "gin", "appnp"],
+    ap.add_argument("--model",
+                    choices=["gcn", "gat", "gatv2", "sage", "gin", "appnp"],
                     default="gcn",
-                    help="gat: 2-layer multi-head graph attention "
-                         "(--hidden = per-head width); sage/gin/appnp: "
-                         "2-layer extension families from nn/")
+                    help="gat/gatv2: 2-layer multi-head graph attention "
+                         "(--hidden = per-head width; v2 = dynamic "
+                         "attention); sage/gin/appnp: 2-layer extension "
+                         "families from nn/")
     ap.add_argument("--gat_heads", type=int, default=8)
     ap.add_argument("--shards", type=int, default=1,
                     help="partition the graph over this many devices "
@@ -109,11 +111,11 @@ def main(argv=None):
             raise SystemExit("--shards currently supports --model gcn only")
         return _run_sharded(args, graph, x, labels, mask, data, dims, key)
 
-    if args.model == "gat":
+    if args.model in ("gat", "gatv2"):
         from pygcn_tpu.nn.gat import GAT
 
         gat = GAT(nfeat=args.feat_dim, nhid=args.hidden, nclass=args.n_classes,
-                  heads=args.gat_heads)
+                  heads=args.gat_heads, v2=(args.model == "gatv2"))
         params = gat.init(key)
         edge_map = None
         if graph.ell is not None:  # fused virtual-row softmax/aggregation

@@ -79,6 +79,70 @@ class GATConv(Module):
 
 
 @dataclasses.dataclass(frozen=True)
+class GATv2Conv(Module):
+    """One multi-head GATv2 layer (Brody et al. 2022, "How Attentive are
+    Graph Attention Networks?").
+
+    ``e_uv = a · leaky_relu(x_u @ W_l + x_v @ W_r)`` — the nonlinearity
+    precedes the attention vector, so the neighbor ranking can vary per
+    receiver (dynamic attention; v1's is provably static). Aggregates the
+    source transform: ``out_v = Σ_u alpha_uv · (x_u @ W_l)``.
+    ``share_weights=True`` ties ``W_r = W_l`` (the paper's ablation).
+    """
+
+    in_features: int
+    out_features: int  # per head
+    heads: int = 1
+    concat: bool = True
+    negative_slope: float = 0.2
+    bias: bool = True
+    share_weights: bool = False
+
+    def init(self, key) -> Params:
+        kl, kr, ka, kb = jax.random.split(key, 4)
+        h, f = self.heads, self.out_features
+        p = {
+            "w_l": tinit.graphconv_weight(kl, self.in_features, h * f),
+            "a": tinit.graphconv_weight(ka, h, f),
+        }
+        if not self.share_weights:
+            p["w_r"] = tinit.graphconv_weight(kr, self.in_features, h * f)
+        if self.bias:
+            out_dim = h * f if self.concat else f
+            p["b"] = tinit.graphconv_bias(kb, out_dim)
+        return p
+
+    def apply(self, params, x: jax.Array, graph: Graph,
+              attn_dropout=None, edge_map=None) -> jax.Array:
+        n = x.shape[0]
+        h, f = self.heads, self.out_features
+        s_l = jnp.dot(x, params["w_l"]).reshape(n, h, f)
+        w_r = params["w_l"] if self.share_weights else params["w_r"]
+        s_r = jnp.dot(x, w_r).reshape(n, h, f)
+        if edge_map is not None:
+            from pygcn_tpu.ops.gat import gatv2_conv_ell
+
+            out = gatv2_conv_ell(
+                graph, edge_map, s_l, s_r, params["a"],
+                self.negative_slope, attn_dropout=attn_dropout,
+            )
+        else:
+            from pygcn_tpu.ops.gat import gatv2_attention
+
+            alpha = gatv2_attention(
+                graph, s_l, s_r, params["a"], self.negative_slope
+            )  # [E_pad, H]
+            if attn_dropout is not None:
+                drop, slot = attn_dropout
+                alpha = drop(slot, alpha)
+            out = attention_aggregate(graph, s_l, alpha)  # [N, H, F]
+        out = out.reshape(n, h * f) if self.concat else out.mean(axis=1)
+        if "b" in params:
+            out = out + params["b"]
+        return out
+
+
+@dataclasses.dataclass(frozen=True)
 class GAT(Module):
     """2-layer GAT: ``elu(GATConv(heads, concat)) → GATConv(1 head, mean)``.
 
@@ -94,14 +158,16 @@ class GAT(Module):
     out_heads: int = 1
     negative_slope: float = 0.2
     dropout: float = 0.0  # applied to inputs AND attention when rng given
+    v2: bool = False  # GATv2 convs (dynamic attention) instead of v1
 
     def _children(self):
+        conv = GATv2Conv if self.v2 else GATConv
         return {
-            "gat1": GATConv(self.nfeat, self.nhid, heads=self.heads,
-                            concat=True, negative_slope=self.negative_slope),
-            "gat2": GATConv(self.nhid * self.heads, self.nclass,
-                            heads=self.out_heads, concat=False,
-                            negative_slope=self.negative_slope),
+            "gat1": conv(self.nfeat, self.nhid, heads=self.heads,
+                         concat=True, negative_slope=self.negative_slope),
+            "gat2": conv(self.nhid * self.heads, self.nclass,
+                         heads=self.out_heads, concat=False,
+                         negative_slope=self.negative_slope),
         }
 
     def init(self, key) -> Params:

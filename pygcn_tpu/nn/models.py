@@ -417,6 +417,11 @@ def get_model(config, model_name: str = "GCN") -> Module:
         from pygcn_tpu.nn.gat import GAT
 
         return GAT(config.gcn_nfeat, config.gcn_nhid, config.gcn_nclass)
+    if model_name == "GATv2":
+        from pygcn_tpu.nn.gat import GAT
+
+        return GAT(config.gcn_nfeat, config.gcn_nhid, config.gcn_nclass,
+                   v2=True)
     if model_name == "SAGE":
         from pygcn_tpu.nn.sage import SAGE
 

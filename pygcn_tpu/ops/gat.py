@@ -100,6 +100,30 @@ def gat_attention(
     return edge_softmax(graph, jax.nn.leaky_relu(e, negative_slope))
 
 
+def gatv2_attention(
+    graph: Graph,
+    s_l: jax.Array,  # [N, H, F'] source transform (x @ W_l)
+    s_r: jax.Array,  # [N, H, F'] receiver transform (x @ W_r)
+    a: jax.Array,  # [H, F']
+    negative_slope: float = 0.2,
+) -> jax.Array:
+    """Per-edge, per-head GATv2 attention weights ``alpha`` [E_pad, H].
+
+    GATv2 (Brody et al. 2022) applies the nonlinearity BEFORE the attention
+    vector — ``e_uv = a · leaky_relu(s_l[u] + s_r[v])`` — making attention
+    *dynamic* (the ranking of neighbors can depend on the receiver). Unlike
+    v1 this cannot decompose into two scalar gathers; the per-edge [E, H·F']
+    intermediate is materialized flat (the TPU-friendly shape) and reduced
+    against ``a`` immediately.
+    """
+    n, h, f = s_l.shape
+    g = jnp.take(s_l.reshape(n, h * f), graph.senders, axis=0)
+    d = jnp.take(s_r.reshape(n, h * f), graph.receivers, axis=0)
+    e = jax.nn.leaky_relu(g + d, negative_slope).reshape(-1, h, f)
+    logits = jnp.einsum("ehf,hf->eh", e, a)
+    return edge_softmax(graph, logits)
+
+
 # ---------------------------------------------------------------------- #
 # Fused bucketed-ELL GAT: all per-receiver reductions ride virtual rows
 # ---------------------------------------------------------------------- #
@@ -233,6 +257,75 @@ def gat_conv_ell(
             drop, slot = attn_dropout
             alpha = drop((slot, bi), alpha)
         g = jnp.take(s2, cols.reshape(-1), axis=0).reshape(nb, k, h, f)
+        out_parts.append((g * alpha[..., None]).reshape(nb, k, h * f).sum(axis=1))
+    out = jax.ops.segment_sum(
+        jnp.concatenate(out_parts, axis=0), r, num_segments=n
+    )
+    return out.reshape(n, h, f)
+
+
+def gatv2_conv_ell(
+    graph: Graph,
+    em: EdgeMap,
+    s_l: jax.Array,  # [N, H, F'] source transform (x @ W_l)
+    s_r: jax.Array,  # [N, H, F'] receiver transform (x @ W_r)
+    a: jax.Array,  # [H, F']
+    negative_slope: float = 0.2,
+    attn_dropout=None,
+) -> jax.Array:
+    """Slot-native GATv2 convolution (see :func:`gat_conv_ell` for the
+    layout rationale). The v2 logit ``a · leaky_relu(s_l[u] + s_r[v])``
+    needs the full feature vector per slot, so pass 1 gathers the source
+    block ``[nb, k, H·F']`` — transient per bucket, reduced against ``a``
+    immediately; only ``[nb, k, H]`` logits survive across passes. Pass 3
+    re-gathers the same column blocks for aggregation (cheaper than holding
+    every bucket's feature block across the softmax)."""
+    ell = graph.ell
+    n, h, f = s_l.shape
+    sl2 = s_l.reshape(n, h * f)
+    sr2 = s_r.reshape(n, h * f)
+
+    # pass 1: per-slot v2 logits, per-vrow max partials
+    e_blocks, valid_blocks, max_parts, vrows = [], [], [], []
+    for cols, eidx, rows in zip(ell.cols, em.eidx, ell.rows):
+        nb, k = cols.shape
+        valid = (eidx != em.sentinel)[..., None]  # [nb, k, 1]
+        g = jnp.take(sl2, cols.reshape(-1), axis=0).reshape(nb, k, h, f)
+        d = jnp.take(sr2, rows, axis=0).reshape(nb, 1, h, f)
+        e = jnp.einsum(
+            "bkhf,hf->bkh", jax.nn.leaky_relu(g + d, negative_slope), a
+        )
+        e = jnp.where(valid, e, -jnp.inf)
+        e_blocks.append(e)
+        valid_blocks.append(valid)
+        max_parts.append(e.max(axis=1))  # [nb, h]
+        vrows.append(rows)
+    r = jnp.concatenate(vrows, axis=0)
+    m = jax.ops.segment_max(
+        jnp.concatenate(max_parts, axis=0), r, num_segments=n
+    )
+    m = jax.lax.stop_gradient(jnp.where(jnp.isfinite(m), m, 0.0))  # [N, H]
+
+    # pass 2: exp + per-vrow denominator partials
+    ex_blocks, den_parts = [], []
+    for e, valid, rows in zip(e_blocks, valid_blocks, vrows):
+        ex = jnp.exp(e - jnp.take(m, rows, axis=0)[:, None, :]) * valid
+        ex_blocks.append(ex)
+        den_parts.append(ex.sum(axis=1))
+    denom = jax.ops.segment_sum(
+        jnp.concatenate(den_parts, axis=0), r, num_segments=n
+    )
+    denom = jnp.maximum(denom, 1e-16)  # [N, H]
+
+    # pass 3: alpha per slot, feature re-gather, weighted combine
+    out_parts = []
+    for bi, (cols, ex, rows) in enumerate(zip(ell.cols, ex_blocks, vrows)):
+        nb, k = cols.shape
+        alpha = ex / jnp.take(denom, rows, axis=0)[:, None, :]  # [nb, k, h]
+        if attn_dropout is not None:
+            drop, slot = attn_dropout
+            alpha = drop((slot, bi), alpha)
+        g = jnp.take(sl2, cols.reshape(-1), axis=0).reshape(nb, k, h, f)
         out_parts.append((g * alpha[..., None]).reshape(nb, k, h * f).sum(axis=1))
     out = jax.ops.segment_sum(
         jnp.concatenate(out_parts, axis=0), r, num_segments=n

@@ -202,3 +202,141 @@ def test_fused_ell_gat_matches_reference_path():
         np.testing.assert_allclose(np.asarray(g_ell[k]), np.asarray(g_ref[k]),
                                    rtol=2e-3, atol=1e-5)
 
+
+
+def test_gatv2_attention_matches_dense_reference():
+    """gatv2_attention == dense masked softmax of a·leaky_relu(s_l[u]+s_r[v])."""
+    from pygcn_tpu.ops.gat import gatv2_attention
+
+    g, m = _random_graph(n=30, seed=6)
+    rng = np.random.default_rng(6)
+    h, f = 3, 4
+    s_l = rng.normal(size=(30, h, f)).astype(np.float32)
+    s_r = rng.normal(size=(30, h, f)).astype(np.float32)
+    a = rng.normal(size=(h, f)).astype(np.float32)
+
+    alpha = np.asarray(gatv2_attention(
+        g, jnp.asarray(s_l), jnp.asarray(s_r), jnp.asarray(a)))
+    assert (alpha[g.n_edges:] == 0).all()
+
+    recv = np.asarray(g.receivers[: g.n_edges])
+    send = np.asarray(g.senders[: g.n_edges])
+
+    def lrelu(v):
+        return np.where(v >= 0, v, 0.2 * v)
+
+    for k in range(h):
+        logits = (lrelu(s_l[send, k] + s_r[recv, k]) * a[k]).sum(1)
+        want = _dense_alpha(m, (recv, send, logits))
+        got = np.zeros_like(want)
+        got[recv, send] = alpha[: g.n_edges, k]
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
+
+
+def test_gatv2_is_dynamic_where_v1_is_static():
+    """v1's neighbor ranking is receiver-independent (a_src·s_u ordering);
+    v2 can rank the same two senders differently for different receivers."""
+    from pygcn_tpu.ops.gat import gat_attention, gatv2_attention
+
+    # complete bipartite-ish toy: receivers 2,3 each attend senders 0,1
+    rows = np.array([2, 2, 3, 3])
+    cols = np.array([0, 1, 0, 1])
+    m = sp.coo_matrix((np.ones(4, np.float32), (rows, cols)), shape=(4, 4))
+    g = Graph.from_scipy(m, build_dense=False, build_bcsr=False, build_ell=False)
+    # dynamic ranking needs the leaky_relu kink: receiver 3's big negative
+    # first coordinate pushes sender 0's dominant feature past it, flipping
+    # the order that receiver 2 sees
+    h, f = 1, 2
+    s_l = jnp.asarray([[10.0, 0.0], [0.0, 4.0], [0.0, 0.0], [-20.0, 0.0]],
+                      jnp.float32).reshape(4, h, f)
+    a = jnp.asarray([[1.0, 1.0]], jnp.float32)
+
+    def rank(alpha):
+        # per receiver: does sender 0 beat sender 1?
+        al = np.asarray(alpha)[: g.n_edges, 0]
+        e = {(int(r), int(c)): al[i] for i, (r, c) in enumerate(
+            zip(np.asarray(g.receivers[: g.n_edges]),
+                np.asarray(g.senders[: g.n_edges])))}
+        return e[(2, 0)] > e[(2, 1)], e[(3, 0)] > e[(3, 1)]
+
+    r1 = rank(gat_attention(g, s_l, a, a))
+    assert r1[0] == r1[1]  # v1: same ranking for every receiver, always
+    r2 = rank(gatv2_attention(g, s_l, s_l, a))
+    assert r2[0] != r2[1]  # v2: receiver-dependent ranking on this input
+
+
+def test_gatv2_conv_ell_matches_coo_path():
+    """Slot-native gatv2_conv_ell == COO path; GATv2Conv fwd+grads agree."""
+    from pygcn_tpu.nn.gat import GATv2Conv
+    from pygcn_tpu.ops.gat import (
+        build_edge_map, gatv2_attention, gatv2_conv_ell,
+    )
+
+    g, _ = _ell_graph()
+    em = build_edge_map(g)
+    rng = np.random.default_rng(7)
+    s_l = jnp.asarray(rng.normal(size=(60, 3, 4)).astype(np.float32))
+    s_r = jnp.asarray(rng.normal(size=(60, 3, 4)).astype(np.float32))
+    a = jnp.asarray(rng.normal(size=(3, 4)).astype(np.float32))
+
+    alpha_ref = gatv2_attention(g, s_l, s_r, a)
+    out_ref = attention_aggregate(g, s_l, alpha_ref)
+    out_ell = gatv2_conv_ell(g, em, s_l, s_r, a)
+    np.testing.assert_allclose(np.asarray(out_ell), np.asarray(out_ref),
+                               rtol=1e-4, atol=1e-5)
+
+    layer = GATv2Conv(5, 4, heads=2)
+    params = layer.init(jax.random.key(1))
+    x = jnp.asarray(rng.normal(size=(60, 5)).astype(np.float32))
+
+    def loss(p, use_em):
+        out = layer.apply(p, x, g, edge_map=em if use_em else None)
+        return (out ** 2).sum()
+
+    l_ref, g_ref = jax.value_and_grad(loss)(params, False)
+    l_ell, g_ell = jax.value_and_grad(loss)(params, True)
+    np.testing.assert_allclose(float(l_ell), float(l_ref), rtol=1e-4)
+    for k in g_ref:
+        np.testing.assert_allclose(np.asarray(g_ell[k]), np.asarray(g_ref[k]),
+                                   rtol=2e-3, atol=1e-5)
+
+    # share_weights ties W_r = W_l
+    tied = GATv2Conv(5, 4, heads=2, share_weights=True)
+    tp = tied.init(jax.random.key(2))
+    assert "w_r" not in tp
+    out = tied.apply(tp, x, g)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_gatv2_learns_sbm():
+    data = sbm_classification(
+        n=200, n_classes=3, feat_dim=16, seed=0,
+        train_per_class=12, n_val=30, n_test=60,
+        build_dense=False, build_bcsr=False, build_ell=False,
+    )
+    model = GAT(nfeat=16, nhid=8, nclass=3, heads=4, v2=True)
+    params = model.init(jax.random.key(0))
+    tx = adam_l2(0.01, 5e-4)
+    opt_state = tx.init(params)
+    x = jnp.asarray(data.features)
+    labels = jnp.asarray(data.labels)
+    mask = jnp.zeros(200).at[jnp.asarray(data.idx_train)].set(1.0)
+
+    import optax
+
+    @jax.jit
+    def step(params, opt_state):
+        def loss_fn(p):
+            logp = model.apply(p, x, data.graph)
+            per = -jnp.take_along_axis(logp, labels[:, None], axis=1)[:, 0]
+            return (per * mask).sum() / mask.sum()
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    for _ in range(60):
+        params, opt_state, loss = step(params, opt_state)
+    preds = np.asarray(model.apply(params, x, data.graph)).argmax(1)
+    acc = (preds[data.idx_test] == np.asarray(data.labels)[data.idx_test]).mean()
+    assert acc > 0.75, acc
