@@ -30,9 +30,11 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--prefetch", type=int, default=2,
                     help="host-sampling lookahead depth (0 = serial)")
-    ap.add_argument("--model", choices=["gcn", "gat"], default="gcn",
-                    help="gat: attention over each sampled neighborhood "
-                         "(--hidden = per-head width)")
+    ap.add_argument("--model", choices=["gcn", "gat", "gatv2"],
+                    default="gcn",
+                    help="gat/gatv2: attention over each sampled "
+                         "neighborhood (--hidden = per-head width; v2 = "
+                         "dynamic attention)")
     ap.add_argument("--gat_heads", type=int, default=4)
     ap.add_argument("--npz", default=None,
                     help="train on a real dataset in the .npz interchange "
@@ -83,9 +85,14 @@ def main(argv=None):
 
     key = jax.random.key(args.seed)
     params = []
-    if args.model == "gat":
+    if args.model in ("gat", "gatv2"):
         # heads*hidden concat on inner layers, 1-head mean on the last
-        fwd = lambda p, b, x: sampled_gat_forward(p, b, x)
+        if args.model == "gatv2":
+            from pygcn_tpu.ops.sampling import sampled_gatv2_forward
+
+            fwd = lambda p, b, x: sampled_gatv2_forward(p, b, x)
+        else:
+            fwd = lambda p, b, x: sampled_gat_forward(p, b, x)
         if len(args.fanouts) == 1:
             layer_dims = [(args.feat_dim, 1, data.n_classes)]
         else:
@@ -97,12 +104,22 @@ def main(argv=None):
             layer_dims.append((args.gat_heads * args.hidden, 1, data.n_classes))
         for fi, heads, fo in layer_dims:
             key, kw, ks_, kd, kb = jax.random.split(key, 5)
-            params.append({
-                "w": tinit.graphconv_weight(kw, fi, heads * fo),
-                "a_src": tinit.graphconv_weight(ks_, heads, fo),
-                "a_dst": tinit.graphconv_weight(kd, heads, fo),
-                "b": tinit.graphconv_bias(kb, heads * fo if heads > 1 else fo),
-            })
+            if args.model == "gatv2":
+                params.append({
+                    "w_l": tinit.graphconv_weight(kw, fi, heads * fo),
+                    "w_r": tinit.graphconv_weight(ks_, fi, heads * fo),
+                    "a": tinit.graphconv_weight(kd, heads, fo),
+                    "b": tinit.graphconv_bias(
+                        kb, heads * fo if heads > 1 else fo),
+                })
+            else:
+                params.append({
+                    "w": tinit.graphconv_weight(kw, fi, heads * fo),
+                    "a_src": tinit.graphconv_weight(ks_, heads, fo),
+                    "a_dst": tinit.graphconv_weight(kd, heads, fo),
+                    "b": tinit.graphconv_bias(
+                        kb, heads * fo if heads > 1 else fo),
+                })
     else:
         fwd = sampled_gcn_forward
         dims = [args.feat_dim] + [args.hidden] * (len(args.fanouts) - 1) + [data.n_classes]

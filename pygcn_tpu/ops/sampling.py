@@ -304,6 +304,63 @@ def sampled_gcn_forward(params_list, batch: SampledBatch, x_input: jax.Array,
     return h
 
 
+def sampled_gatv2_forward(
+    params_list,
+    batch: SampledBatch,
+    x_input: jax.Array,
+    negative_slope: float = 0.2,
+    final_activation=None,
+):
+    """GATv2 over sampled neighborhoods (dynamic-attention counterpart of
+    :func:`sampled_gat_forward`; same masking/stacking conventions).
+
+    Per-layer params: ``w_l`` [F_in, H*F'] (source transform — also the
+    aggregated message), optional ``w_r`` (receiver transform; defaults to
+    tied ``w_l``), ``a`` [H, F'] and optional ``b``. The v2 logit
+    ``a · leaky_relu(s_l[u] + s_r[v])`` is computed slot-wise inside each
+    fixed-fanout block — a [m, K, H·F'] transient, reduced against ``a``
+    immediately.
+    """
+    h = x_input
+    n_layers = len(params_list)
+    for i, (p, block) in enumerate(zip(params_list, batch.blocks)):
+        heads, fo = p["a"].shape
+        m, k = block.cols.shape
+        s_l = jnp.dot(h, p["w_l"])  # [n_in, H*F']
+        s_r = jnp.dot(h, p.get("w_r", p["w_l"]))
+        g = jnp.take(s_l, block.cols.reshape(-1), axis=0).reshape(
+            m, k, heads, fo
+        )
+        d = jnp.take(s_r, block.self_idx, axis=0).reshape(m, 1, heads, fo)
+        e = jnp.einsum(
+            "mkhf,hf->mkh", jax.nn.leaky_relu(g + d, negative_slope), p["a"]
+        )
+        valid = (block.weights > 0)[..., None]  # [m, k, 1]
+        e = jnp.where(valid, e, -jnp.inf)
+        emax = e.max(axis=1, keepdims=True)
+        emax = jnp.where(jnp.isfinite(emax), emax, 0.0)
+        ex = jnp.exp(e - emax) * valid
+        denom = jnp.maximum(ex.sum(axis=1, keepdims=True), 1e-16)
+        alpha = ex / denom  # [m, k, heads]
+        out = (g * alpha[..., None]).sum(axis=1)  # [m, heads, fo]
+        # isolated nodes (no valid neighbors) keep their own transform
+        own = jnp.take(s_l, block.self_idx, axis=0).reshape(m, heads, fo)
+        has = valid.any(axis=1)  # [m, 1]
+        out = jnp.where(has[..., None], out, own)
+        if i < n_layers - 1:
+            h = out.reshape(m, heads * fo)
+            if "b" in p:
+                h = h + p["b"]
+            h = jax.nn.elu(h)
+        else:
+            h = out.mean(axis=1)
+            if "b" in p:
+                h = h + p["b"]
+            if final_activation is not None:
+                h = final_activation(h)
+    return h
+
+
 def sampled_gat_forward(
     params_list,
     batch: SampledBatch,

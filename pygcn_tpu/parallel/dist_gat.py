@@ -11,6 +11,12 @@ runs over the shard's local + halo edge arrays.
 
 Weights are replicated (like ``DistGCN``); XLA inserts the gradient
 all-reduces and the reverse halo exchange under ``jit``.
+
+``v2=True`` switches both classes to GATv2 (dynamic attention): the halo
+ships the source transform ``s_l`` alone — v2 logits
+``a · leaky_relu(s_l[u] + s_r[v])`` are computed receiver-side from the
+shipped features plus the local receiver transform, so v2 actually moves
+*fewer* bytes per halo row than v1's ``[s | logit_src]`` packing.
 """
 
 from __future__ import annotations
@@ -45,6 +51,7 @@ class DistGATConv:
         concat: bool = True,
         negative_slope: float = 0.2,
         axis: str = "graph",
+        v2: bool = False,
     ):
         self.mesh = mesh
         self.plan = plan
@@ -54,6 +61,7 @@ class DistGATConv:
         self.concat = concat
         self.negative_slope = negative_slope
         self.axis = axis
+        self.v2 = v2
         # plan edge arrays are zero-padded per shard; padding rows carry
         # weight 0 while real (normalized-adjacency) edges are > 0 — GAT
         # only needs connectivity, so the weights become validity masks
@@ -69,6 +77,13 @@ class DistGATConv:
         kw, ks, kd, kb = jax.random.split(key, 4)
         h, f = self.heads, self.out_features
         out_dim = h * f if self.concat else f
+        if self.v2:
+            return {
+                "w_l": tinit.graphconv_weight(kw, self.in_features, h * f),
+                "w_r": tinit.graphconv_weight(kd, self.in_features, h * f),
+                "a": tinit.graphconv_weight(ks, h, f),
+                "b": tinit.graphconv_bias(kb, out_dim),
+            }
         return {
             "w": tinit.graphconv_weight(kw, self.in_features, h * f),
             "a_src": tinit.graphconv_weight(ks, h, f),
@@ -81,36 +96,58 @@ class DistGATConv:
         h, f = self.heads, self.out_features
         S = plan.shard_size
         slope = self.negative_slope
+        v2 = self.v2
 
-        def local_fn(table, ldst, loc, rem, send_idx, valid_loc, valid_rem):
+        def local_fn(table, recv_tab, loc, rem, send_idx, valid_loc,
+                     valid_rem, a_vec):
             # leading shard axis collapsed to 1 by shard_map
             loc_s, loc_r = (a[0] for a in loc)
             rem_h, rem_r = (a[0] for a in rem)
             vloc = valid_loc[0][:, None]  # [E_loc, 1]
             vrem = valid_rem[0][:, None]
             send_idx = send_idx[0]  # [P, halo]
-            # table/ldst specs split the node axis: locals are [S, ...]
+            # table/recv_tab specs split the node axis: locals are [S, ...]
 
-            # one halo exchange ships [s2 | lsrc] rows
+            # one halo exchange ships sender rows: v1 packs [s2 | lsrc];
+            # v2 ships s_l2 alone (its logits are computed receiver-side
+            # from the shipped features — nothing extra crosses the mesh)
             outgoing = jnp.take(table, send_idx.reshape(-1), axis=0).reshape(
                 send_idx.shape[0], send_idx.shape[1], table.shape[1]
             )
             halo = jax.lax.all_to_all(
                 outgoing, axis, split_axis=0, concat_axis=0, tiled=True
-            ).reshape(-1, table.shape[1])  # [P*halo, h*f + h]
-            s2_halo, lsrc_halo = halo[:, : h * f], halo[:, h * f :]
-            s2_loc, lsrc_loc = table[:, : h * f], table[:, h * f :]
+            ).reshape(-1, table.shape[1])
+            if v2:
+                s2_halo, s2_loc = halo, table
+                src_loc, src_rem = s2_loc, s2_halo
 
-            def logits(lsrc_tab, senders, receivers, valid):
-                e = jax.nn.leaky_relu(
-                    jnp.take(lsrc_tab, senders, axis=0)
-                    + jnp.take(ldst, receivers, axis=0),
-                    slope,
-                )
-                return jnp.where(valid > 0, e, -jnp.inf)
+                def logits(s_tab, senders, receivers, valid):
+                    # recv_tab = s_r2 [S, h*f]; a · leaky_relu(s_l[u]+s_r[v])
+                    g = jnp.take(s_tab, senders, axis=0)
+                    d = jnp.take(recv_tab, receivers, axis=0)
+                    ne = g.shape[0]
+                    e = jnp.einsum(
+                        "ehf,hf->eh",
+                        jax.nn.leaky_relu(g + d, slope).reshape(ne, h, f),
+                        a_vec,
+                    )
+                    return jnp.where(valid > 0, e, -jnp.inf)
+            else:
+                s2_halo, lsrc_halo = halo[:, : h * f], halo[:, h * f :]
+                s2_loc, lsrc_loc = table[:, : h * f], table[:, h * f :]
+                src_loc, src_rem = lsrc_loc, lsrc_halo
 
-            e_loc = logits(lsrc_loc, loc_s, loc_r, vloc)  # [E_loc, h]
-            e_rem = logits(lsrc_halo, rem_h, rem_r, vrem)
+                def logits(lsrc_tab, senders, receivers, valid):
+                    # recv_tab = ldst [S, h]
+                    e = jax.nn.leaky_relu(
+                        jnp.take(lsrc_tab, senders, axis=0)
+                        + jnp.take(recv_tab, receivers, axis=0),
+                        slope,
+                    )
+                    return jnp.where(valid > 0, e, -jnp.inf)
+
+            e_loc = logits(src_loc, loc_s, loc_r, vloc)  # [E_loc, h]
+            e_rem = logits(src_rem, rem_h, rem_r, vrem)
 
             m = jnp.maximum(
                 jax.ops.segment_max(e_loc, loc_r, num_segments=S),
@@ -143,23 +180,32 @@ class DistGATConv:
             local_fn,
             mesh=self.mesh,
             in_specs=(P(axis, None), P(axis, None), e_spec, e_spec,
-                      P(axis, None, None), P(axis, None), P(axis, None)),
+                      P(axis, None, None), P(axis, None), P(axis, None),
+                      P()),
             out_specs=P(axis, None),
         )
 
-        def run(table, ldst):
-            return fn(table, ldst, loc, rem, plan.send_idx,
-                      self.valid_loc, self.valid_rem)
+        def run(table, recv_tab, a_vec):
+            return fn(table, recv_tab, loc, rem, plan.send_idx,
+                      self.valid_loc, self.valid_rem, a_vec)
 
         return run
 
     def apply(self, params, x: jax.Array) -> jax.Array:
         h, f = self.heads, self.out_features
-        s2 = jnp.dot(x, params["w"])  # [N_pad, h*f], row-sharded
-        s3 = s2.reshape(x.shape[0], h, f)
-        lsrc = jnp.einsum("nhf,hf->nh", s3, params["a_src"])
-        ldst = jnp.einsum("nhf,hf->nh", s3, params["a_dst"])
-        out = self._sharded(jnp.concatenate([s2, lsrc], axis=1), ldst)
+        if self.v2:
+            s_l2 = jnp.dot(x, params["w_l"])  # [N_pad, h*f], row-sharded
+            s_r2 = jnp.dot(x, params["w_r"])
+            out = self._sharded(s_l2, s_r2, params["a"])
+        else:
+            s2 = jnp.dot(x, params["w"])  # [N_pad, h*f], row-sharded
+            s3 = s2.reshape(x.shape[0], h, f)
+            lsrc = jnp.einsum("nhf,hf->nh", s3, params["a_src"])
+            ldst = jnp.einsum("nhf,hf->nh", s3, params["a_dst"])
+            out = self._sharded(
+                jnp.concatenate([s2, lsrc], axis=1), ldst,
+                jnp.zeros((h, f), s2.dtype),
+            )
         if not self.concat:
             out = out.reshape(x.shape[0], h, f).mean(axis=1)
         return out + params["b"]
@@ -180,17 +226,18 @@ class DistGAT:
         out_heads: int = 1,
         negative_slope: float = 0.2,
         axis: str = "graph",
+        v2: bool = False,
     ):
         self.mesh = mesh
         self.plan = plan
         self.axis = axis
         self.gat1 = DistGATConv(
             mesh, plan, nfeat, nhid, heads=heads, concat=True,
-            negative_slope=negative_slope, axis=axis,
+            negative_slope=negative_slope, axis=axis, v2=v2,
         )
         self.gat2 = DistGATConv(
             mesh, plan, nhid * heads, nclass, heads=out_heads, concat=False,
-            negative_slope=negative_slope, axis=axis,
+            negative_slope=negative_slope, axis=axis, v2=v2,
         )
 
     def init(self, key):

@@ -287,3 +287,112 @@ def test_sampled_gat_trains():
                x_all[jnp.asarray(batch.input_nodes)])
     acc = float((np.asarray(logits).argmax(1) == y_all[data.idx_test]).mean())
     assert acc > 0.6, acc
+
+
+def test_sampled_gatv2_matches_block_reference():
+    """v2 attention over sampled blocks == per-node numpy reference
+    (a · leaky_relu(s_l[u] + s_r[v]) logits, s_l aggregation)."""
+    import scipy.sparse as sp
+
+    from pygcn_tpu.ops.sampling import sampled_gatv2_forward
+
+    m = sp.random(80, 80, density=0.06, random_state=6, format="coo")
+    a = sym_normalize(symmetrize_max(m))
+    sampler = NeighborSampler(a, fanouts=[4], mode="gcn", seed=5)
+    seeds = np.arange(30)
+    batch = sampler.sample(seeds)
+    block = batch.blocks[0]
+    n_in = batch.input_nodes.size
+
+    rng = np.random.default_rng(7)
+    heads, fo = 2, 3
+    x = rng.normal(size=(n_in, 5)).astype(np.float32)
+    p = {
+        "w_l": jnp.asarray(rng.normal(size=(5, heads * fo)).astype(np.float32)),
+        "w_r": jnp.asarray(rng.normal(size=(5, heads * fo)).astype(np.float32)),
+        "a": jnp.asarray(rng.normal(size=(heads, fo)).astype(np.float32)),
+    }
+    got = np.asarray(sampled_gatv2_forward([p], batch, jnp.asarray(x)))
+
+    s_l = (x @ np.asarray(p["w_l"])).reshape(n_in, heads, fo)
+    s_r = (x @ np.asarray(p["w_r"])).reshape(n_in, heads, fo)
+    av = np.asarray(p["a"])
+    cols = np.asarray(block.cols)
+    w = np.asarray(block.weights)
+    self_idx = np.asarray(block.self_idx)
+    want = np.zeros((30, fo))
+    for i in range(30):
+        valid = w[i] > 0
+        per_head = np.zeros((heads, fo))
+        for hh in range(heads):
+            if valid.any():
+                pre = s_l[cols[i], hh] + s_r[self_idx[i], hh]
+                e = (np.where(pre >= 0, pre, 0.2 * pre) * av[hh]).sum(1)
+                e = np.where(valid, e, -np.inf)
+                z = np.exp(e - e[valid].max())
+                z[~valid] = 0.0
+                alpha = z / z.sum()
+                per_head[hh] = alpha @ s_l[cols[i], hh]
+            else:
+                per_head[hh] = s_l[self_idx[i], hh]
+        want[i] = per_head.mean(0)  # single layer = last layer: head mean
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_sampled_gatv2_trains():
+    """2-layer sampled GATv2 learns SBM labels; tied w_r default works."""
+    import optax
+
+    from pygcn_tpu.ops.sampling import SampledBatch, sampled_gatv2_forward
+
+    data = sbm_classification(n=300, n_classes=3, feat_dim=32, seed=0)
+    a = data.graph.to_scipy().tocsr()
+    sampler = NeighborSampler(a, fanouts=[5, 5], mode="gcn", seed=0)
+
+    heads, fo, ncls = 2, 8, data.n_classes
+    ks = jax.random.split(jax.random.key(0), 6)
+    params = [
+        {"w_l": tinit.graphconv_weight(ks[0], 32, heads * fo),
+         "w_r": tinit.graphconv_weight(ks[1], 32, heads * fo),
+         "a": tinit.graphconv_weight(ks[2], heads, fo),
+         "b": jnp.zeros(heads * fo)},
+        # second layer: tied weights (no w_r) exercises the default
+        {"w_l": tinit.graphconv_weight(ks[3], heads * fo, 1 * ncls),
+         "a": tinit.graphconv_weight(ks[4], 1, ncls),
+         "b": jnp.zeros(ncls)},
+    ]
+    tx = optax.adam(0.01)
+    opt_state = tx.init(params)
+    x_all = jnp.asarray(data.features)
+    y_all = np.asarray(data.labels)
+
+    @jax.jit
+    def step(params, opt_state, blocks, input_nodes, y):
+        def loss_fn(p):
+            b = SampledBatch(blocks=blocks, input_nodes=None, output_nodes=None)
+            logits = sampled_gatv2_forward(p, b, x_all[input_nodes])
+            logp = jax.nn.log_softmax(logits, axis=1)
+            return -jnp.take_along_axis(logp, y[:, None], axis=1).mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    rng = np.random.default_rng(0)
+    for _ in range(40):
+        seeds = rng.choice(data.idx_train, size=32, replace=True)
+        batch = sampler.sample(seeds, pad=True)
+        params, opt_state, loss = step(
+            params, opt_state, batch.blocks,
+            jnp.asarray(batch.input_nodes), jnp.asarray(y_all[seeds]),
+        )
+    assert np.isfinite(float(loss))
+
+    eval_batch = sampler.sample(data.idx_test)
+    logits = sampled_gatv2_forward(
+        params,
+        SampledBatch(blocks=eval_batch.blocks, input_nodes=None, output_nodes=None),
+        x_all[jnp.asarray(eval_batch.input_nodes)],
+    )
+    acc = (np.asarray(logits).argmax(1) == y_all[data.idx_test]).mean()
+    assert acc > 0.6, acc
