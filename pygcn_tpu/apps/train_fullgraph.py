@@ -107,8 +107,8 @@ def main(argv=None):
     key = jax.random.key(args.seed)
 
     if args.shards > 1:
-        if args.model != "gcn":
-            raise SystemExit("--shards currently supports --model gcn only")
+        if args.model == "gin":
+            raise SystemExit("--shards supports gcn/gat/gatv2/sage/appnp")
         return _run_sharded(args, graph, x, labels, mask, data, dims, key)
 
     if args.model in ("gat", "gatv2"):
@@ -181,7 +181,9 @@ def main(argv=None):
 
 
 def _run_sharded(args, graph, x, labels, mask, data, dims, key):
-    """--shards N: edge-partitioned DistGCN over a 'graph' mesh."""
+    """--shards N: edge-partitioned distributed model over a 'graph' mesh
+    (gcn / gat / gatv2 / sage / appnp — all share the halo-exchange plan
+    and the classifier train step)."""
     import jax
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -192,11 +194,30 @@ def _run_sharded(args, graph, x, labels, mask, data, dims, key):
 
     mesh = make_mesh([args.shards], ["graph"])
     plan = build_dist_plan(graph, args.shards)
-    model = DistGCN(
-        mesh, plan, dims,
-        final_activation=lambda h: jax.nn.log_softmax(h, axis=1),
-        remat=args.remat,
-    )
+    if args.model in ("gat", "gatv2"):
+        from pygcn_tpu.parallel.dist_gat import DistGAT
+
+        model = DistGAT(
+            mesh, plan, nfeat=args.feat_dim, nhid=args.hidden,
+            nclass=args.n_classes, heads=args.gat_heads,
+            v2=(args.model == "gatv2"),
+        )
+    elif args.model == "sage":
+        from pygcn_tpu.parallel.dist_sage import DistSAGE
+
+        model = DistSAGE(mesh, plan, args.feat_dim, args.hidden,
+                         args.n_classes)
+    elif args.model == "appnp":
+        from pygcn_tpu.parallel.dist_sage import DistAPPNP
+
+        model = DistAPPNP(mesh, plan, args.feat_dim, args.hidden,
+                          args.n_classes)
+    else:
+        model = DistGCN(
+            mesh, plan, dims,
+            final_activation=lambda h: jax.nn.log_softmax(h, axis=1),
+            remat=args.remat,
+        )
     params = model.shard_params(model.init(key))
     tx = adam_l2(args.lr, args.weight_decay)
     opt_state = tx.init(params)

@@ -267,6 +267,19 @@ def test_train_fullgraph_sharded():
     assert dt > 0
 
 
+def test_train_fullgraph_sharded_families():
+    """--shards reaches the distributed GAT/SAGE/APPNP modules too."""
+    from pygcn_tpu.apps import train_fullgraph
+
+    for model in ("gatv2", "sage"):
+        dt = train_fullgraph.main([
+            "--n_nodes", "300", "--avg_degree", "5", "--feat_dim", "8",
+            "--hidden", "4", "--n_classes", "3", "--epochs", "1",
+            "--shards", "4", "--model", model, "--gat_heads", "2",
+        ])
+        assert dt > 0
+
+
 def test_train_sampled():
     from pygcn_tpu.apps import train_sampled
 
