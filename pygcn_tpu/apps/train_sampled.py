@@ -46,6 +46,11 @@ def main(argv=None):
                     help="host threads for per-shard sampling (bit-identical "
                          "to serial; pays off for large per-shard batches, "
                          "~1k+ seeds; needs --shards > 1)")
+    ap.add_argument("--feature_sharded", action="store_true",
+                    help="row-shard node features over the mesh instead of "
+                         "replicating them (products-scale memory regime); "
+                         "each step fetches its input rows with one "
+                         "all_to_all (needs --shards > 1)")
     args = ap.parse_args(argv)
 
     from pygcn_tpu.apps.common import set_process_title
@@ -133,12 +138,16 @@ def main(argv=None):
     y_all = np.asarray(data.labels)
 
     dp_step = sample_fn = None
+    shard_size = None
+    if args.feature_sharded and args.shards <= 1:
+        raise SystemExit("--feature_sharded needs --shards > 1")
     if args.shards > 1:
         # data-parallel: global batch split over a 'data' mesh axis; each
         # shard samples its own neighborhood host-side, grads pmean over ICI
         from pygcn_tpu.parallel.dp_sampled import (
             ShardedNeighborSampler,
             make_dp_sampled_step,
+            shard_feature_rows,
         )
         from pygcn_tpu.parallel.mesh import make_mesh
 
@@ -146,13 +155,25 @@ def main(argv=None):
         sample_fn = ShardedNeighborSampler(
             sampler, args.shards, workers=args.sample_workers
         )
-        dp_step = make_dp_sampled_step(mesh, fwd, tx)
+        dp_step = make_dp_sampled_step(
+            mesh, fwd, tx, feature_sharded=args.feature_sharded
+        )
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         repl = NamedSharding(mesh, P())
-        x_all = jax.device_put(x_all, repl)
         params = jax.device_put(params, repl)
         opt_state = jax.device_put(opt_state, repl)
+        if args.feature_sharded:
+            # the feature store never exists whole on any device: row blocks
+            # [G*S/G, F] live one-per-shard; per-batch input rows arrive via
+            # one all_to_all planned host-side from the sampled indices
+            x_train, shard_size = shard_feature_rows(
+                mesh, np.asarray(data.features)
+            )
+        else:
+            x_train = jax.device_put(x_all, repl)
+    else:
+        x_train = x_all
 
     # x_all stays device-resident; the step receives node INDICES and gathers
     # on device (only indices + block metadata cross host->device per batch).
@@ -188,13 +209,23 @@ def main(argv=None):
             sampler, epoch_seed_batches(), prefetch=args.prefetch, pad=True,
             sample_fn=sample_fn,
         ):
-            if dp_step is not None:
+            if dp_step is not None and args.feature_sharded:
+                from pygcn_tpu.parallel.dp_sampled import build_fetch_plan
+
+                plan = build_fetch_plan(batch.input_nodes, shard_size)
+                blocks_d, req_d, inv_d, y_d = dp_step.place(
+                    batch.blocks, plan, y_all[batch.output_nodes],
+                )
+                params, opt_state, loss = dp_step(
+                    params, opt_state, blocks_d, req_d, inv_d, x_train, y_d
+                )
+            elif dp_step is not None:
                 blocks_d, in_d, y_d = dp_step.place(
                     batch.blocks, batch.input_nodes,
                     y_all[batch.output_nodes],
                 )
                 params, opt_state, loss = dp_step(
-                    params, opt_state, blocks_d, in_d, x_all, y_d
+                    params, opt_state, blocks_d, in_d, x_train, y_d
                 )
             else:
                 params, opt_state, loss = step(

@@ -19,7 +19,10 @@ TPU-first design choices:
   per-shard Python dispatch.
 - **Features stay resident.** ``x_full`` is replicated on device; only seed
   indices and block metadata move per step, exactly like the single-device
-  sampled path.
+  sampled path. When the feature matrix is too big to replicate,
+  ``feature_sharded=True`` keeps it row-sharded over the same mesh axis and
+  each step fetches its input rows with one ``all_to_all`` planned host-side
+  (:func:`build_fetch_plan`) — every row moves exactly once over ICI.
 - **Gradient exchange is a single ``pmean``** over the ``data`` axis inside
   ``shard_map`` — the XLA all-reduce rides ICI; the optimizer update runs
   replicated (identical on every shard after the reduce).
@@ -155,12 +158,76 @@ class ShardedNeighborSampler:
         )
 
 
+def _pow2(n: int) -> int:
+    return 1 << max(int(n) - 1, 0).bit_length()
+
+
+def build_fetch_plan(
+    input_nodes: np.ndarray, shard_size: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Host-side routing plan for a ROW-SHARDED feature store.
+
+    When node features are too large to replicate (the Reddit/products-scale
+    regime), ``x`` lives row-sharded over the same mesh axis as the DP
+    shards: device ``o`` owns rows ``[o*S, (o+1)*S)``. Each sampled batch
+    then needs a cross-shard gather, planned here while the batch is still
+    on the host (sampling already knows every index):
+
+    - ``req_idx [G_owner, G_requester, K]``: the local row ids each owner
+      must send to each requester (K = group-max list length rounded to a
+      power of two — O(log) distinct shapes, same trick as the batch pads);
+    - ``inv_perm [G, n_in]``: where each of a requester's ``input_nodes``
+      lands in its received ``[G*K]`` row block, restoring sampling order.
+
+    On device the gather is ONE ``all_to_all`` of ``[G, K, F]`` blocks per
+    step — every needed row moves exactly once over ICI; nothing is
+    replicated.
+    """
+    input_nodes = np.asarray(input_nodes)
+    G, n_in = input_nodes.shape
+    owner = input_nodes // shard_size
+    local = input_nodes % shard_size
+    if owner.max() >= G:
+        raise ValueError(
+            f"node id {input_nodes.max()} outside {G} shards x {shard_size}"
+        )
+    sel_lists = [
+        [np.nonzero(owner[g] == o)[0] for o in range(G)] for g in range(G)
+    ]
+    k = _pow2(max(1, max(s.size for row in sel_lists for s in row)))
+    req_idx = np.zeros((G, G, k), np.int32)
+    inv_perm = np.zeros((G, n_in), np.int32)
+    for g in range(G):
+        for o in range(G):
+            sel = sel_lists[g][o]
+            req_idx[o, g, : sel.size] = local[g][sel]
+            inv_perm[g][sel] = o * k + np.arange(sel.size, dtype=np.int32)
+    return req_idx, inv_perm
+
+
+def shard_feature_rows(mesh: Mesh, x: np.ndarray, axis: str = "data"):
+    """Pad the node axis to a multiple of the mesh axis and row-shard it.
+
+    Returns ``(x_sharded [G*S, F], shard_size S)`` — the feature-store
+    layout consumed by the ``feature_sharded=True`` dp step.
+    """
+    x = np.asarray(x)
+    g = mesh.shape[axis]
+    s = -(-x.shape[0] // g)
+    pad = g * s - x.shape[0]
+    if pad:
+        x = np.concatenate([x, np.zeros((pad,) + x.shape[1:], x.dtype)])
+    xs = jax.device_put(jnp.asarray(x), NamedSharding(mesh, P(axis)))
+    return xs, s
+
+
 def make_dp_sampled_step(
     mesh: Mesh,
     fwd: Callable,
     optimizer,
     loss: str = "xent",
     axis: str = "data",
+    feature_sharded: bool = False,
 ):
     """Build a jitted data-parallel train step for stacked sampled batches.
 
@@ -174,52 +241,102 @@ def make_dp_sampled_step(
 
     ``loss='xent'``: softmax cross-entropy with int labels; ``loss='mse'``:
     mean squared error on ``fwd``'s squeezed scalar output.
+
+    ``feature_sharded=True`` switches to the ROW-SHARDED feature store
+    (Reddit/products-scale: ``x`` too big to replicate). ``x_full`` must come
+    from :func:`shard_feature_rows` and the step signature becomes
+    ``step(params, opt_state, blocks, req_idx, inv_perm, x_shard, y)`` with
+    the ``(req_idx, inv_perm)`` plan from :func:`build_fetch_plan` on the
+    batch's stacked ``input_nodes``. Inside the shard_map each owner gathers
+    its requested rows locally and ONE ``all_to_all`` of ``[G, K, F]`` blocks
+    delivers every input row to its requester over ICI.
     """
     from jax import shard_map
 
-    def local_loss(params, blocks_local, input_nodes, x_full, y):
+    def local_loss(params, blocks_local, x_in, y):
         batch = SampledBatch(
             blocks=blocks_local, input_nodes=None, output_nodes=None
         )
-        out = fwd(params, batch, x_full[input_nodes])
+        out = fwd(params, batch, x_in)
         if loss == "mse":
             return jnp.mean((out[:, 0] - y) ** 2)
         logp = jax.nn.log_softmax(out, axis=1)
         return -jnp.take_along_axis(logp, y[:, None], axis=1).mean()
 
-    def shard_grads(params, blocks, input_nodes, x_full, y):
+    def _squeeze_blocks(blocks):
         # local leading dim is 1 after sharding: squeeze to per-shard shapes
-        blocks_local = [
+        return [
             SampledBlock(
                 cols=b.cols[0], weights=b.weights[0], self_idx=b.self_idx[0]
             )
             for b in blocks
         ]
-        l, g = jax.value_and_grad(local_loss)(
-            params, blocks_local, input_nodes[0], x_full, y[0]
-        )
+
+    def _reduce(l, g):
         return (
             jax.lax.pmean(l, axis),
             jax.tree.map(lambda t: jax.lax.pmean(t, axis), g),
         )
 
+    def shard_grads(params, blocks, input_nodes, x_full, y):
+        l, g = jax.value_and_grad(local_loss)(
+            params, _squeeze_blocks(blocks), x_full[input_nodes[0]], y[0]
+        )
+        return _reduce(l, g)
+
+    def shard_grads_fs(params, blocks, req_idx, inv_perm, x_shard, y):
+        # as the OWNER: gather the rows each requester asked for ([G, K, F]),
+        # then one all_to_all swaps blocks so requester g receives
+        # recv[o] = x_o[req_idx[o, g]]; inv_perm restores sampling order.
+        send = x_shard[req_idx[0]]
+        recv = jax.lax.all_to_all(send, axis, split_axis=0, concat_axis=0)
+        x_in = recv.reshape(-1, x_shard.shape[-1])[inv_perm[0]]
+        l, g = jax.value_and_grad(local_loss)(
+            params, _squeeze_blocks(blocks), x_in, y[0]
+        )
+        return _reduce(l, g)
+
     block_spec = SampledBlock(cols=P(axis), weights=P(axis), self_idx=P(axis))
 
-    @jax.jit
-    def step(params, opt_state, blocks, input_nodes, x_full, y):
-        smapped = shard_map(
-            shard_grads,
-            mesh=mesh,
-            in_specs=(P(), [block_spec] * len(blocks), P(axis), P(), P(axis)),
-            out_specs=(P(), P()),
-            check_vma=False,
-        )
-        l, grads = smapped(params, blocks, input_nodes, x_full, y)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, l
+    if feature_sharded:
+
+        @jax.jit
+        def step(params, opt_state, blocks, req_idx, inv_perm, x_shard, y):
+            smapped = shard_map(
+                shard_grads_fs,
+                mesh=mesh,
+                in_specs=(P(), [block_spec] * len(blocks), P(axis), P(axis),
+                          P(axis), P(axis)),
+                out_specs=(P(), P()),
+                check_vma=False,
+            )
+            l, grads = smapped(params, blocks, req_idx, inv_perm, x_shard, y)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, l
+
+    else:
+
+        @jax.jit
+        def step(params, opt_state, blocks, input_nodes, x_full, y):
+            smapped = shard_map(
+                shard_grads,
+                mesh=mesh,
+                in_specs=(P(), [block_spec] * len(blocks), P(axis), P(),
+                          P(axis)),
+                out_specs=(P(), P()),
+                check_vma=False,
+            )
+            l, grads = smapped(params, blocks, input_nodes, x_full, y)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, l
 
     def place(blocks, input_nodes, y):
-        """Device-put a stacked batch with the right shardings."""
+        """Device-put a stacked batch with the right shardings.
+
+        Replicated mode: ``input_nodes`` is the stacked ``[G, n_in]`` index
+        array. Feature-sharded mode: pass the ``(req_idx, inv_perm)`` tuple
+        from :func:`build_fetch_plan` instead and two arrays come back.
+        """
         shard = NamedSharding(mesh, P(axis))
         blocks = [
             SampledBlock(
@@ -229,6 +346,14 @@ def make_dp_sampled_step(
             )
             for b in blocks
         ]
+        if feature_sharded:
+            req_idx, inv_perm = input_nodes
+            return (
+                blocks,
+                jax.device_put(jnp.asarray(req_idx), shard),
+                jax.device_put(jnp.asarray(inv_perm), shard),
+                jax.device_put(jnp.asarray(y), shard),
+            )
         return (
             blocks,
             jax.device_put(jnp.asarray(input_nodes), shard),

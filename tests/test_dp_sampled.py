@@ -20,7 +20,9 @@ from pygcn_tpu.ops.sampling import (
 )
 from pygcn_tpu.parallel.dp_sampled import (
     ShardedNeighborSampler,
+    build_fetch_plan,
     make_dp_sampled_step,
+    shard_feature_rows,
     stack_shard_batches,
 )
 from pygcn_tpu.parallel.mesh import make_mesh
@@ -127,6 +129,66 @@ def test_dp_step_matches_shard_grad_average(setup):
     ref_params = optax.apply_updates(params, updates)
 
     assert np.isclose(float(loss), avg_loss, rtol=1e-5, atol=1e-6)
+    for got, want in zip(
+        jax.tree.leaves(new_params), jax.tree.leaves(ref_params)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6
+        )
+
+
+def test_fetch_plan_reconstructs_rows():
+    rng = np.random.default_rng(5)
+    shard_size, g, n_in = 16, 4, 11
+    x = rng.normal(size=(g * shard_size, 6)).astype(np.float32)
+    input_nodes = rng.integers(0, g * shard_size, size=(g, n_in))
+    req_idx, inv_perm = build_fetch_plan(input_nodes, shard_size)
+    assert req_idx.shape[0] == g and req_idx.shape[1] == g
+    k = req_idx.shape[2]
+    assert (k & (k - 1)) == 0  # pow2 padding keeps distinct shapes O(log)
+    # emulate the all_to_all by hand: requester r's recv[o] = x_o[req_idx[o,r]]
+    for r in range(g):
+        recv = np.stack([
+            x[o * shard_size : (o + 1) * shard_size][req_idx[o, r]]
+            for o in range(g)
+        ])
+        got = recv.reshape(g * k, -1)[inv_perm[r]]
+        np.testing.assert_array_equal(got, x[input_nodes[r]])
+
+
+def test_feature_sharded_step_matches_replicated(setup):
+    data, a, params = setup
+    sampler = NeighborSampler(a, fanouts=[3, 2], mode="gcn", seed=7)
+    group = ShardedNeighborSampler(sampler, G)
+    rng = np.random.default_rng(2)
+    seeds = rng.choice(data.idx_train, size=G * B, replace=True)
+    batch = group(seeds)
+    y = np.asarray(data.labels)[batch.output_nodes]
+
+    mesh = make_mesh([G], ("data",))
+    tx = optax.adam(1e-2)
+    opt_state = tx.init(params)
+    x_all = jnp.asarray(data.features)
+
+    # replicated reference
+    step_r = make_dp_sampled_step(mesh, sampled_gcn_forward, tx)
+    blocks_d, in_d, y_d = step_r.place(batch.blocks, batch.input_nodes, y)
+    ref_params, _, ref_loss = step_r(
+        params, opt_state, blocks_d, in_d, x_all, y_d
+    )
+
+    # row-sharded feature store + all_to_all fetch
+    x_shard, s = shard_feature_rows(mesh, np.asarray(data.features))
+    plan = build_fetch_plan(batch.input_nodes, s)
+    step_fs = make_dp_sampled_step(
+        mesh, sampled_gcn_forward, tx, feature_sharded=True
+    )
+    blocks_d, req_d, inv_d, y_d = step_fs.place(batch.blocks, plan, y)
+    new_params, _, loss = step_fs(
+        params, opt_state, blocks_d, req_d, inv_d, x_shard, y_d
+    )
+
+    assert np.isclose(float(loss), float(ref_loss), rtol=1e-6, atol=1e-7)
     for got, want in zip(
         jax.tree.leaves(new_params), jax.tree.leaves(ref_params)
     ):
