@@ -170,6 +170,15 @@ def main(argv=None):
             x_train, shard_size = shard_feature_rows(
                 mesh, np.asarray(data.features)
             )
+            from pygcn_tpu.parallel.dp_sampled import build_fetch_plan
+
+            group_sample = sample_fn
+
+            def sample_fn(seeds):
+                # plan in the producer thread so it overlaps device steps
+                b = group_sample(seeds)
+                return b, build_fetch_plan(b.input_nodes, shard_size)
+
         else:
             x_train = jax.device_put(x_all, repl)
     else:
@@ -210,9 +219,7 @@ def main(argv=None):
             sample_fn=sample_fn,
         ):
             if dp_step is not None and args.feature_sharded:
-                from pygcn_tpu.parallel.dp_sampled import build_fetch_plan
-
-                plan = build_fetch_plan(batch.input_nodes, shard_size)
+                batch, plan = batch
                 blocks_d, req_d, inv_d, y_d = dp_step.place(
                     batch.blocks, plan, y_all[batch.output_nodes],
                 )

@@ -186,22 +186,30 @@ def build_fetch_plan(
     input_nodes = np.asarray(input_nodes)
     G, n_in = input_nodes.shape
     owner = input_nodes // shard_size
-    local = input_nodes % shard_size
+    local = (input_nodes % shard_size).astype(np.int32)
     if owner.max() >= G:
         raise ValueError(
             f"node id {input_nodes.max()} outside {G} shards x {shard_size}"
         )
-    sel_lists = [
-        [np.nonzero(owner[g] == o)[0] for o in range(G)] for g in range(G)
-    ]
-    k = _pow2(max(1, max(s.size for row in sel_lists for s in row)))
+    # group each requester's indices by owner with one stable argsort —
+    # O(G n log n) host work, no per-(owner, requester) pair scan
+    order = np.argsort(owner, axis=1, kind="stable")
+    sorted_owner = np.take_along_axis(owner, order, axis=1)
+    counts = np.zeros((G, G), np.int64)
+    for g in range(G):
+        counts[g] = np.bincount(owner[g], minlength=G)
+    k = _pow2(max(1, int(counts.max())))
+    starts = np.concatenate(
+        [np.zeros((G, 1), np.int64), np.cumsum(counts, axis=1)[:, :-1]], axis=1
+    )
+    pos = (
+        np.arange(n_in) - np.take_along_axis(starts, sorted_owner, axis=1)
+    ).astype(np.int32)
     req_idx = np.zeros((G, G, k), np.int32)
     inv_perm = np.zeros((G, n_in), np.int32)
     for g in range(G):
-        for o in range(G):
-            sel = sel_lists[g][o]
-            req_idx[o, g, : sel.size] = local[g][sel]
-            inv_perm[g][sel] = o * k + np.arange(sel.size, dtype=np.int32)
+        req_idx[sorted_owner[g], g, pos[g]] = local[g][order[g]]
+        inv_perm[g][order[g]] = sorted_owner[g] * k + pos[g]
     return req_idx, inv_perm
 
 
