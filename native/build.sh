@@ -4,6 +4,6 @@
 # truncates a libgraphkit.so that a running process has mapped.
 set -e
 cd "$(dirname "$0")"
-g++ -O3 -march=native -shared -fPIC -std=c++17 -o libgraphkit.so.tmp.$$ graphkit.cpp
+g++ -O3 -march=native -shared -fPIC -std=c++17 -pthread -o libgraphkit.so.tmp.$$ graphkit.cpp
 mv -f libgraphkit.so.tmp.$$ libgraphkit.so
 echo "built $(pwd)/libgraphkit.so"

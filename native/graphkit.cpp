@@ -24,6 +24,7 @@
 #include <cstdlib>
 #include <cstring>
 #include <numeric>
+#include <thread>
 #include <vector>
 
 extern "C" {
@@ -279,6 +280,40 @@ void gk_sample_layer(const int64_t* indptr, const int64_t* indices,
       wts[j] = mode == 0 ? data[pos] * scale : scale;
     }
   }
+}
+
+// Row-parallel variant of gk_sample_layer: rows split into contiguous chunks,
+// one std::thread each. Bit-identical to the serial kernel for any thread
+// count — the RNG is a pure counter hash and each row owns disjoint output
+// slots — so callers may pick threads purely by host load. n_threads <= 1
+// degrades to the serial loop (no thread spawn).
+void gk_sample_layer_mt(const int64_t* indptr, const int64_t* indices,
+                        const float* data, const int64_t* out_nodes,
+                        int64_t m, int64_t k, uint64_t base, int32_t mode,
+                        int64_t n_threads, int64_t* cols_out,
+                        float* weights_out) {
+  if (n_threads <= 1 || m < 2) {
+    gk_sample_layer(indptr, indices, data, out_nodes, m, k, base, mode,
+                    cols_out, weights_out);
+    return;
+  }
+  if (n_threads > m) n_threads = m;
+  const int64_t chunk = (m + n_threads - 1) / n_threads;
+  std::vector<std::thread> threads;
+  threads.reserve(size_t(n_threads));
+  for (int64_t t = 0; t < n_threads; ++t) {
+    const int64_t lo = t * chunk;
+    const int64_t hi = std::min(lo + chunk, m);
+    if (lo >= hi) break;
+    threads.emplace_back([=] {
+      // same math as the serial kernel with the row counter offset by lo,
+      // writing into the caller's buffers at the chunk's own offset
+      gk_sample_layer(indptr, indices, data, out_nodes + lo, hi - lo, k,
+                      base + uint64_t(lo) * uint64_t(k), mode,
+                      cols_out + lo * k, weights_out + lo * k);
+    });
+  }
+  for (auto& th : threads) th.join();
 }
 
 // Parse a whitespace-separated two-column integer edge list (e.g. Planetoid

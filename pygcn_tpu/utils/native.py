@@ -93,6 +93,11 @@ def _load() -> Optional[ctypes.CDLL]:
         _i64p, _i64p, _f32p, _i64p, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_uint64, ctypes.c_int32, _i64p, _f32p,
     ]
+    if hasattr(lib, "gk_sample_layer_mt"):
+        lib.gk_sample_layer_mt.argtypes = [
+            _i64p, _i64p, _f32p, _i64p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_uint64, ctypes.c_int32, ctypes.c_int64, _i64p, _f32p,
+        ]
     _lib = lib
     return _lib
 
@@ -288,6 +293,19 @@ def _mix64_np(x: np.ndarray) -> np.ndarray:
     return x ^ (x >> _U64(31))
 
 
+def _auto_sample_threads(m: int, k: int) -> int:
+    """Draws-per-thread heuristic for the threaded sampling kernel.
+
+    The per-draw cost is dominated by the random CSR gather (~15 ns), so
+    extra threads only pay once each owns enough draws to amortize spawn
+    AND the shared memory bandwidth (measured on a 2-core host: 2 threads
+    lose below ~200K draws, win 1.5x at 650K). Any thread count is
+    bit-identical (counter-based RNG), so this is purely a speed knob.
+    """
+    cores = os.cpu_count() or 1
+    return max(1, min(cores, (m * k) // 131072))
+
+
 def sample_layer(
     indptr: np.ndarray,
     indices: np.ndarray,
@@ -296,6 +314,7 @@ def sample_layer(
     k: int,
     base: int,
     mode: str = "gcn",
+    threads: "int | None" = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Fixed-fanout neighbor picks + CSR gather + aggregation weights.
 
@@ -306,6 +325,10 @@ def sample_layer(
     ``'mean'`` uses ``1/k``. Zero-degree rows emit the node itself with
     weight 0. The native call releases the GIL, so prefetch-threaded
     sampling overlaps with device compute.
+
+    ``threads``: native row-parallelism (None = auto by batch size; results
+    are bit-identical for ANY thread count — the RNG is a pure counter hash
+    and rows own disjoint output slots).
     """
     m = int(out_nodes.size)
     mode_i = 0 if mode == "gcn" else 1
@@ -314,13 +337,25 @@ def sample_layer(
         nodes = np.ascontiguousarray(out_nodes, np.int64)
         cols = np.empty((m, k), np.int64)
         wts = np.empty((m, k), np.float32)
-        lib.gk_sample_layer(
-            _ptr(np.ascontiguousarray(indptr, np.int64), _i64p),
-            _ptr(np.ascontiguousarray(indices, np.int64), _i64p),
-            _ptr(np.ascontiguousarray(data, np.float32), _f32p),
-            _ptr(nodes, _i64p), m, k, ctypes.c_uint64(base & _M64), mode_i,
-            _ptr(cols, _i64p), _ptr(wts, _f32p),
+        n_threads = (
+            _auto_sample_threads(m, k) if threads is None else max(1, threads)
         )
+        if n_threads > 1 and hasattr(lib, "gk_sample_layer_mt"):
+            lib.gk_sample_layer_mt(
+                _ptr(np.ascontiguousarray(indptr, np.int64), _i64p),
+                _ptr(np.ascontiguousarray(indices, np.int64), _i64p),
+                _ptr(np.ascontiguousarray(data, np.float32), _f32p),
+                _ptr(nodes, _i64p), m, k, ctypes.c_uint64(base & _M64),
+                mode_i, n_threads, _ptr(cols, _i64p), _ptr(wts, _f32p),
+            )
+        else:
+            lib.gk_sample_layer(
+                _ptr(np.ascontiguousarray(indptr, np.int64), _i64p),
+                _ptr(np.ascontiguousarray(indices, np.int64), _i64p),
+                _ptr(np.ascontiguousarray(data, np.float32), _f32p),
+                _ptr(nodes, _i64p), m, k, ctypes.c_uint64(base & _M64),
+                mode_i, _ptr(cols, _i64p), _ptr(wts, _f32p),
+            )
         return cols, wts
 
     nodes = np.asarray(out_nodes, np.int64)

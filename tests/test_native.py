@@ -208,6 +208,32 @@ def test_sample_layer_native_matches_fallback():
             assert np.isin(cols[i], row).all()
 
 
+def test_sample_layer_threads_bit_identical():
+    """Row-parallel native sampling == serial for every thread count."""
+    if not native.available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(11)
+    n = 500
+    a = sp.random(n, n, density=0.03, random_state=11, format="csr")
+    a.data = a.data.astype(np.float32)
+    indptr = a.indptr.astype(np.int64)
+    indices = a.indices.astype(np.int64)
+    out_nodes = rng.integers(0, n, 1000).astype(np.int64)
+    for mode in ("gcn", "mean"):
+        c1, w1 = native.sample_layer(
+            indptr, indices, a.data, out_nodes, 7, 42, mode=mode, threads=1
+        )
+        for th in (2, 3, 8, 64):
+            ct, wt = native.sample_layer(
+                indptr, indices, a.data, out_nodes, 7, 42, mode=mode,
+                threads=th,
+            )
+            np.testing.assert_array_equal(c1, ct)
+            np.testing.assert_array_equal(w1, wt)
+
+
 def test_sample_layer_fallback_isolated_last_node():
     """Regression: the NumPy fallback used to index past `indices` for a
     zero-degree node whose (empty) CSR row sits at the end of the array."""
