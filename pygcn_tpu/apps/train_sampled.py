@@ -51,6 +51,11 @@ def main(argv=None):
                          "replicating them (products-scale memory regime); "
                          "each step fetches its input rows with one "
                          "all_to_all (needs --shards > 1)")
+    ap.add_argument("--align_seeds", action="store_true",
+                    help="route each seed to the shard owning its feature "
+                         "rows (same global gradient, less all_to_all "
+                         "traffic on locality-ordered graphs; needs "
+                         "--feature_sharded)")
     args = ap.parse_args(argv)
 
     from pygcn_tpu.apps.common import set_process_title
@@ -141,6 +146,8 @@ def main(argv=None):
     shard_size = None
     if args.feature_sharded and args.shards <= 1:
         raise SystemExit("--feature_sharded needs --shards > 1")
+    if args.align_seeds and not args.feature_sharded:
+        raise SystemExit("--align_seeds needs --feature_sharded")
     if args.shards > 1:
         # data-parallel: global batch split over a 'data' mesh axis; each
         # shard samples its own neighborhood host-side, grads pmean over ICI
@@ -173,11 +180,16 @@ def main(argv=None):
             from pygcn_tpu.parallel.dp_sampled import build_fetch_plan
 
             group_sample = sample_fn
+            if args.align_seeds:
+                group_sample.align_shard_size = shard_size
 
             def sample_fn(seeds):
                 # plan in the producer thread so it overlaps device steps
                 b = group_sample(seeds)
-                return b, build_fetch_plan(b.input_nodes, shard_size)
+                plan = build_fetch_plan(
+                    b.input_nodes, shard_size, n_valid=b.n_input_valid
+                )
+                return b, plan
 
         else:
             x_train = jax.device_put(x_all, repl)
@@ -220,11 +232,12 @@ def main(argv=None):
         ):
             if dp_step is not None and args.feature_sharded:
                 batch, plan = batch
-                blocks_d, req_d, inv_d, y_d = dp_step.place(
+                blocks_d, req_d, loc_d, inv_d, y_d = dp_step.place(
                     batch.blocks, plan, y_all[batch.output_nodes],
                 )
                 params, opt_state, loss = dp_step(
-                    params, opt_state, blocks_d, req_d, inv_d, x_train, y_d
+                    params, opt_state, blocks_d, req_d, loc_d, inv_d,
+                    x_train, y_d,
                 )
             elif dp_step is not None:
                 blocks_d, in_d, y_d = dp_step.place(

@@ -45,6 +45,9 @@ class SampledBatch:
     blocks: List[SampledBlock]  # innermost layer first
     input_nodes: np.ndarray  # global ids feeding layer 0
     output_nodes: np.ndarray  # global ids of the final layer (the seeds)
+    # pre-pad input_nodes length per shard ([G], stacked batches only):
+    # lets the feature-fetch planner skip pow2-pad entries
+    n_input_valid: "np.ndarray | None" = None
 
 
 def aggregate_block(block: SampledBlock, h: jax.Array) -> jax.Array:

@@ -54,9 +54,10 @@ def stack_shard_batches(
     single-shard convention: node-set entry 0 with zero weight, never
     referenced by real rows.
 
-    Returns ``(blocks, input_nodes)`` where each ``SampledBlock`` field has a
-    leading shard axis (``cols [G,m,K]``, ``weights [G,m,K]``,
-    ``self_idx [G,m]``) and ``input_nodes`` is ``[G, n_in]`` int32.
+    Returns ``(blocks, input_nodes, n_valid)`` where each ``SampledBlock``
+    field has a leading shard axis (``cols [G,m,K]``, ``weights [G,m,K]``,
+    ``self_idx [G,m]``), ``input_nodes`` is ``[G, n_in]`` int32, and
+    ``n_valid [G]`` holds each shard's pre-pad input length.
     """
     n_layers = len(shard_samples[0][0])
     blocks: List[SampledBlock] = []
@@ -82,7 +83,8 @@ def stack_shard_batches(
     input_nodes = np.stack([
         _pad_rows(s[1].astype(np.int32), n_in_pad) for s in shard_samples
     ])
-    return blocks, input_nodes
+    n_valid = np.asarray([s[1].size for s in shard_samples], np.int64)
+    return blocks, input_nodes, n_valid
 
 
 def _pad_rows(a: np.ndarray, m: int) -> np.ndarray:
@@ -109,12 +111,24 @@ class ShardedNeighborSampler:
     are large enough to amortize pool dispatch and the GIL-held NumPy
     glue (measured on this host: 4096-seed shards 50→35 ms/group, 1.4x;
     512-seed shards regress 10→19 ms). Default stays serial.
+
+    ``align_shard_size``: route each seed to the shard OWNING its feature
+    rows (owner = ``seed // align_shard_size``, the row-sharded store layout
+    of :func:`shard_feature_rows`) instead of splitting the batch in order.
+    Any seed→shard assignment yields the SAME global gradient (the loss is a
+    mean over the global batch and grads are ``pmean``-reduced), so this is a
+    pure communication optimization: on a locality-ordered graph most
+    sampled neighbors share the seed's shard and the feature all_to_all
+    collapses (see :func:`build_fetch_plan`). Seeds are owner-sorted and
+    split into equal contiguous chunks — shards whose seeds overflow their
+    chunk spill into the neighboring shard, keeping shapes static.
     """
 
     def __init__(self, sampler: NeighborSampler, n_shards: int,
-                 workers: int = 0):
+                 workers: int = 0, align_shard_size: "int | None" = None):
         self.sampler = sampler
         self.n_shards = int(n_shards)
+        self.align_shard_size = align_shard_size
         self._pool = None
         if workers > 1:
             from concurrent.futures import ThreadPoolExecutor
@@ -134,6 +148,11 @@ class ShardedNeighborSampler:
                 f"global batch {seeds.size} not divisible by "
                 f"{self.n_shards} shards"
             )
+        if self.align_shard_size is not None:
+            owner = np.minimum(
+                seeds // self.align_shard_size, self.n_shards - 1
+            )
+            seeds = seeds[np.argsort(owner, kind="stable")]
         shard_seeds = seeds.reshape(self.n_shards, -1)
         if self._pool is None:
             samples = [
@@ -152,9 +171,10 @@ class ShardedNeighborSampler:
                     enumerate(shard_seeds),
                 )
             )
-        blocks, input_nodes = stack_shard_batches(samples)
+        blocks, input_nodes, n_valid = stack_shard_batches(samples)
         return SampledBatch(
-            blocks=blocks, input_nodes=input_nodes, output_nodes=shard_seeds
+            blocks=blocks, input_nodes=input_nodes, output_nodes=shard_seeds,
+            n_input_valid=n_valid,
         )
 
 
@@ -163,8 +183,10 @@ def _pow2(n: int) -> int:
 
 
 def build_fetch_plan(
-    input_nodes: np.ndarray, shard_size: int
-) -> Tuple[np.ndarray, np.ndarray]:
+    input_nodes: np.ndarray,
+    shard_size: int,
+    n_valid: "np.ndarray | None" = None,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Host-side routing plan for a ROW-SHARDED feature store.
 
     When node features are too large to replicate (the Reddit/products-scale
@@ -174,14 +196,27 @@ def build_fetch_plan(
     on the host (sampling already knows every index):
 
     - ``req_idx [G_owner, G_requester, K]``: the local row ids each owner
-      must send to each requester (K = group-max list length rounded to a
-      power of two — O(log) distinct shapes, same trick as the batch pads);
+      must send to each OTHER requester (the requester==owner diagonal is
+      excluded — those rows never leave the device). K = group-max remote
+      list length rounded to a power of two — O(log) distinct shapes, same
+      trick as the batch pads;
+    - ``loc_idx [G, L]``: each requester's OWN rows, gathered locally with
+      no communication (L = pow2 group max);
     - ``inv_perm [G, n_in]``: where each of a requester's ``input_nodes``
-      lands in its received ``[G*K]`` row block, restoring sampling order.
+      lands in ``concat(received [G*K], local [L])``, restoring sampling
+      order.
 
-    On device the gather is ONE ``all_to_all`` of ``[G, K, F]`` blocks per
-    step — every needed row moves exactly once over ICI; nothing is
-    replicated.
+    On device the remote gather is ONE ``all_to_all`` of ``[G, K, F]``
+    blocks per step — every remote row moves exactly once over ICI; local
+    rows cost nothing. With owner-aligned seed sharding
+    (:class:`ShardedNeighborSampler` ``align_shard_size``) on a
+    locality-ordered graph, most rows are local and K collapses.
+
+    ``n_valid [G]``: pre-pad ``input_nodes`` lengths
+    (``SampledBatch.n_input_valid``). Entries past it are pow2 padding —
+    never referenced by block rows — and are routed to local slot 0 instead
+    of being fetched (without this they all count as owned by shard 0 and
+    inflate K).
     """
     input_nodes = np.asarray(input_nodes)
     G, n_in = input_nodes.shape
@@ -191,14 +226,21 @@ def build_fetch_plan(
         raise ValueError(
             f"node id {input_nodes.max()} outside {G} shards x {shard_size}"
         )
+    if n_valid is not None:
+        # sentinel owner G sorts last and is excluded from every count
+        pad = np.arange(n_in)[None, :] >= np.asarray(n_valid)[:, None]
+        owner = np.where(pad, G, owner)
     # group each requester's indices by owner with one stable argsort —
     # O(G n log n) host work, no per-(owner, requester) pair scan
     order = np.argsort(owner, axis=1, kind="stable")
     sorted_owner = np.take_along_axis(owner, order, axis=1)
-    counts = np.zeros((G, G), np.int64)
+    counts = np.zeros((G, G + 1), np.int64)
     for g in range(G):
-        counts[g] = np.bincount(owner[g], minlength=G)
-    k = _pow2(max(1, int(counts.max())))
+        counts[g] = np.bincount(owner[g], minlength=G + 1)
+    remote = counts[:, :G].copy()
+    remote[np.arange(G), np.arange(G)] = 0
+    k = _pow2(max(1, int(remote.max())))
+    l_pad = _pow2(max(1, int(counts[np.arange(G), np.arange(G)].max())))
     starts = np.concatenate(
         [np.zeros((G, 1), np.int64), np.cumsum(counts, axis=1)[:, :-1]], axis=1
     )
@@ -206,11 +248,44 @@ def build_fetch_plan(
         np.arange(n_in) - np.take_along_axis(starts, sorted_owner, axis=1)
     ).astype(np.int32)
     req_idx = np.zeros((G, G, k), np.int32)
+    loc_idx = np.zeros((G, l_pad), np.int32)
     inv_perm = np.zeros((G, n_in), np.int32)
     for g in range(G):
-        req_idx[sorted_owner[g], g, pos[g]] = local[g][order[g]]
-        inv_perm[g][order[g]] = sorted_owner[g] * k + pos[g]
-    return req_idx, inv_perm
+        so = sorted_owner[g]
+        own = so == g
+        rem = (so != g) & (so != G)
+        req_idx[so[rem], g, pos[g][rem]] = local[g][order[g][rem]]
+        loc_idx[g, pos[g][own]] = local[g][order[g][own]]
+        # pad entries (owner G) land on local slot 0: fetched but unread
+        dest = np.where(
+            own, G * k + pos[g],
+            np.where(so == G, G * k, so * k + pos[g]),
+        )
+        inv_perm[g][order[g]] = dest.astype(np.int32)
+    return req_idx, loc_idx, inv_perm
+
+
+def fetch_plan_stats(
+    plan: Tuple[np.ndarray, np.ndarray, np.ndarray],
+    input_nodes: np.ndarray,
+    shard_size: int,
+    n_valid: "np.ndarray | None" = None,
+) -> dict:
+    """Host-side plan metrics: locality fraction and per-step ICI volume."""
+    req_idx, loc_idx, _ = plan
+    input_nodes = np.asarray(input_nodes)
+    G, n_in = input_nodes.shape
+    owner = input_nodes // shard_size
+    is_local = owner == np.arange(G)[:, None]
+    valid = (
+        np.ones((G, n_in), bool) if n_valid is None
+        else np.arange(n_in)[None, :] < np.asarray(n_valid)[:, None]
+    )
+    return {
+        "local_frac": int((is_local & valid).sum()) / max(1, int(valid.sum())),
+        "k_remote": int(req_idx.shape[2]),
+        "rows_over_ici": int(G * (G - 1) * req_idx.shape[2]),
+    }
 
 
 def shard_feature_rows(mesh: Mesh, x: np.ndarray, axis: str = "data"):
@@ -253,11 +328,12 @@ def make_dp_sampled_step(
     ``feature_sharded=True`` switches to the ROW-SHARDED feature store
     (Reddit/products-scale: ``x`` too big to replicate). ``x_full`` must come
     from :func:`shard_feature_rows` and the step signature becomes
-    ``step(params, opt_state, blocks, req_idx, inv_perm, x_shard, y)`` with
-    the ``(req_idx, inv_perm)`` plan from :func:`build_fetch_plan` on the
-    batch's stacked ``input_nodes``. Inside the shard_map each owner gathers
-    its requested rows locally and ONE ``all_to_all`` of ``[G, K, F]`` blocks
-    delivers every input row to its requester over ICI.
+    ``step(params, opt_state, blocks, req_idx, loc_idx, inv_perm, x_shard,
+    y)`` with the plan from :func:`build_fetch_plan` on the batch's stacked
+    ``input_nodes``. Inside the shard_map each owner gathers the rows remote
+    requesters asked for and ONE ``all_to_all`` of ``[G, K, F]`` blocks
+    delivers them over ICI; a requester's own rows come from a local gather
+    and never touch the wire.
     """
     from jax import shard_map
 
@@ -292,15 +368,20 @@ def make_dp_sampled_step(
         )
         return _reduce(l, g)
 
-    def shard_grads_fs(params, blocks, req_idx, inv_perm, x_shard, y):
-        # as the OWNER: gather the rows each requester asked for ([G, K, F]),
-        # then one all_to_all swaps blocks so requester g receives
-        # recv[o] = x_o[req_idx[o, g]]; inv_perm restores sampling order.
+    def shard_grads_fs(params, blocks, req_idx, loc_idx, inv_perm, x_shard, y):
+        # as the OWNER: gather the rows each remote requester asked for
+        # ([G, K, F]); one all_to_all swaps blocks so requester g receives
+        # recv[o] = x_o[req_idx[o, g]]. Own rows never touch the wire —
+        # loc_idx gathers them straight from the local shard. inv_perm maps
+        # concat(received, local) back to sampling order.
         send = x_shard[req_idx[0]]
         recv = jax.lax.all_to_all(send, axis, split_axis=0, concat_axis=0)
-        x_in = recv.reshape(-1, x_shard.shape[-1])[inv_perm[0]]
+        loc = x_shard[loc_idx[0]]
+        rows = jnp.concatenate(
+            [recv.reshape(-1, x_shard.shape[-1]), loc], axis=0
+        )
         l, g = jax.value_and_grad(local_loss)(
-            params, _squeeze_blocks(blocks), x_in, y[0]
+            params, _squeeze_blocks(blocks), rows[inv_perm[0]], y[0]
         )
         return _reduce(l, g)
 
@@ -309,16 +390,19 @@ def make_dp_sampled_step(
     if feature_sharded:
 
         @jax.jit
-        def step(params, opt_state, blocks, req_idx, inv_perm, x_shard, y):
+        def step(params, opt_state, blocks, req_idx, loc_idx, inv_perm,
+                 x_shard, y):
             smapped = shard_map(
                 shard_grads_fs,
                 mesh=mesh,
                 in_specs=(P(), [block_spec] * len(blocks), P(axis), P(axis),
-                          P(axis), P(axis)),
+                          P(axis), P(axis), P(axis)),
                 out_specs=(P(), P()),
                 check_vma=False,
             )
-            l, grads = smapped(params, blocks, req_idx, inv_perm, x_shard, y)
+            l, grads = smapped(
+                params, blocks, req_idx, loc_idx, inv_perm, x_shard, y
+            )
             updates, opt_state = optimizer.update(grads, opt_state, params)
             return optax.apply_updates(params, updates), opt_state, l
 
@@ -342,8 +426,9 @@ def make_dp_sampled_step(
         """Device-put a stacked batch with the right shardings.
 
         Replicated mode: ``input_nodes`` is the stacked ``[G, n_in]`` index
-        array. Feature-sharded mode: pass the ``(req_idx, inv_perm)`` tuple
-        from :func:`build_fetch_plan` instead and two arrays come back.
+        array. Feature-sharded mode: pass the ``(req_idx, loc_idx,
+        inv_perm)`` plan from :func:`build_fetch_plan` instead and three
+        arrays come back.
         """
         shard = NamedSharding(mesh, P(axis))
         blocks = [
@@ -355,10 +440,11 @@ def make_dp_sampled_step(
             for b in blocks
         ]
         if feature_sharded:
-            req_idx, inv_perm = input_nodes
+            req_idx, loc_idx, inv_perm = input_nodes
             return (
                 blocks,
                 jax.device_put(jnp.asarray(req_idx), shard),
+                jax.device_put(jnp.asarray(loc_idx), shard),
                 jax.device_put(jnp.asarray(inv_perm), shard),
                 jax.device_put(jnp.asarray(y), shard),
             )

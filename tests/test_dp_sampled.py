@@ -59,9 +59,10 @@ def test_stack_shard_batches_shapes(setup):
     samples = [
         sampler.sample_np(s, pad=True) for s in seeds.reshape(G, B)
     ]
-    blocks, input_nodes = stack_shard_batches(samples)
+    blocks, input_nodes, n_valid = stack_shard_batches(samples)
     assert len(blocks) == 2
     assert input_nodes.shape[0] == G
+    assert (n_valid == [s[1].size for s in samples]).all()
     for b in blocks:
         assert b.cols.shape[0] == G
         assert b.cols.shape == b.weights.shape
@@ -137,23 +138,72 @@ def test_dp_step_matches_shard_grad_average(setup):
         )
 
 
-def test_fetch_plan_reconstructs_rows():
-    rng = np.random.default_rng(5)
-    shard_size, g, n_in = 16, 4, 11
-    x = rng.normal(size=(g * shard_size, 6)).astype(np.float32)
-    input_nodes = rng.integers(0, g * shard_size, size=(g, n_in))
-    req_idx, inv_perm = build_fetch_plan(input_nodes, shard_size)
-    assert req_idx.shape[0] == g and req_idx.shape[1] == g
+def _emulate_fetch(x, plan, shard_size, g):
+    """Replay the device gather (local + all_to_all) with NumPy."""
+    req_idx, loc_idx, inv_perm = plan
     k = req_idx.shape[2]
-    assert (k & (k - 1)) == 0  # pow2 padding keeps distinct shapes O(log)
-    # emulate the all_to_all by hand: requester r's recv[o] = x_o[req_idx[o,r]]
+    out = []
     for r in range(g):
         recv = np.stack([
             x[o * shard_size : (o + 1) * shard_size][req_idx[o, r]]
             for o in range(g)
         ])
-        got = recv.reshape(g * k, -1)[inv_perm[r]]
-        np.testing.assert_array_equal(got, x[input_nodes[r]])
+        loc = x[r * shard_size : (r + 1) * shard_size][loc_idx[r]]
+        rows = np.concatenate([recv.reshape(g * k, -1), loc])
+        out.append(rows[inv_perm[r]])
+    return np.stack(out)
+
+
+def test_fetch_plan_reconstructs_rows():
+    rng = np.random.default_rng(5)
+    shard_size, g, n_in = 16, 4, 11
+    x = rng.normal(size=(g * shard_size, 6)).astype(np.float32)
+    input_nodes = rng.integers(0, g * shard_size, size=(g, n_in))
+    plan = build_fetch_plan(input_nodes, shard_size)
+    req_idx, loc_idx, _ = plan
+    assert req_idx.shape[0] == g and req_idx.shape[1] == g
+    k = req_idx.shape[2]
+    assert (k & (k - 1)) == 0  # pow2 padding keeps distinct shapes O(log)
+    # own rows never enter the all_to_all payload
+    for o in range(g):
+        own_local = (input_nodes[o] // shard_size) == o
+        assert k <= _pow2_ref(
+            max(1, int((~own_local).sum()))
+        )
+    got = _emulate_fetch(x, plan, shard_size, g)
+    for r in range(g):
+        np.testing.assert_array_equal(got[r], x[input_nodes[r]])
+
+
+def _pow2_ref(n):
+    p = 1
+    while p < n:
+        p <<= 1
+    return p
+
+
+def test_fetch_plan_n_valid_excludes_padding():
+    """Pad entries must not inflate K nor break real-row reconstruction."""
+    rng = np.random.default_rng(8)
+    shard_size, g = 16, 4
+    x = rng.normal(size=(g * shard_size, 3)).astype(np.float32)
+    # every shard's real rows are its OWN rows; pads are global id 0
+    real = np.stack([
+        rng.integers(o * shard_size, (o + 1) * shard_size, size=6)
+        for o in range(g)
+    ])
+    input_nodes = np.concatenate(
+        [real, np.zeros((g, 10), np.int64)], axis=1
+    )
+    n_valid = np.full(g, 6)
+    plan = build_fetch_plan(input_nodes, shard_size, n_valid=n_valid)
+    assert plan[0].shape[2] == 1  # no remote rows at all -> K collapses
+    got = _emulate_fetch(x, plan, shard_size, g)
+    for r in range(g):
+        np.testing.assert_array_equal(got[r][:6], x[input_nodes[r][:6]])
+    # without n_valid the shard-0-owned pads force K >= 10
+    plan_pad = build_fetch_plan(input_nodes, shard_size)
+    assert plan_pad[0].shape[2] >= 10
 
 
 def test_feature_sharded_step_matches_replicated(setup):
@@ -179,13 +229,15 @@ def test_feature_sharded_step_matches_replicated(setup):
 
     # row-sharded feature store + all_to_all fetch
     x_shard, s = shard_feature_rows(mesh, np.asarray(data.features))
-    plan = build_fetch_plan(batch.input_nodes, s)
+    plan = build_fetch_plan(
+        batch.input_nodes, s, n_valid=batch.n_input_valid
+    )
     step_fs = make_dp_sampled_step(
         mesh, sampled_gcn_forward, tx, feature_sharded=True
     )
-    blocks_d, req_d, inv_d, y_d = step_fs.place(batch.blocks, plan, y)
+    blocks_d, req_d, loc_d, inv_d, y_d = step_fs.place(batch.blocks, plan, y)
     new_params, _, loss = step_fs(
-        params, opt_state, blocks_d, req_d, inv_d, x_shard, y_d
+        params, opt_state, blocks_d, req_d, loc_d, inv_d, x_shard, y_d
     )
 
     assert np.isclose(float(loss), float(ref_loss), rtol=1e-6, atol=1e-7)
@@ -195,6 +247,61 @@ def test_feature_sharded_step_matches_replicated(setup):
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6
         )
+
+
+def test_align_seeds_cuts_ici_volume():
+    """Owner-aligned seeds on a locality-ordered graph shrink the fetch.
+
+    Nodes are relabeled community-by-community (here: ground-truth SBM
+    blocks), so contiguous row shards own communities; routing each seed to
+    the shard owning its rows then makes most sampled neighbors local and
+    the all_to_all payload (K) collapse.
+    """
+    from pygcn_tpu.parallel.dp_sampled import fetch_plan_stats
+
+    data = sbm_classification(
+        n=512, n_classes=G, feat_dim=8, avg_degree=8.0, seed=1,
+        homophily=0.95, train_per_class=64, n_val=16, n_test=16,
+        build_dense=False, build_bcsr=False, build_ell=False,
+    )
+    # locality relabeling: community-contiguous node ids
+    perm = np.argsort(data.labels, kind="stable")  # perm[new] = old
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(perm.size)
+    a_old = data.graph.to_scipy().tocsr()
+    a = a_old[perm][:, perm].tocsr()
+    mesh = make_mesh([G], ("data",))
+    _, s = shard_feature_rows(mesh, np.asarray(data.features)[perm])
+    seeds = inv[np.random.default_rng(4).choice(
+        data.idx_train, size=G * 64, replace=True
+    )]
+
+    stats = {}
+    for name, kw in (("random", {}), ("aligned", {"align_shard_size": s})):
+        group = ShardedNeighborSampler(
+            NeighborSampler(a, fanouts=[3, 2], seed=7), G, **kw
+        )
+        batch = group(seeds)
+        plan = build_fetch_plan(
+            batch.input_nodes, s, n_valid=batch.n_input_valid
+        )
+        stats[name] = fetch_plan_stats(
+            plan, batch.input_nodes, s, n_valid=batch.n_input_valid
+        )
+    assert (
+        stats["aligned"]["local_frac"] > stats["random"]["local_frac"] + 0.15
+    )
+    assert (
+        stats["aligned"]["rows_over_ici"] < stats["random"]["rows_over_ici"]
+    )
+    # aligned routing is a permutation of the same global batch
+    group_a = ShardedNeighborSampler(
+        NeighborSampler(a, fanouts=[3, 2], seed=7), G, align_shard_size=s
+    )
+    batch_a = group_a(seeds)
+    np.testing.assert_array_equal(
+        np.sort(batch_a.output_nodes.ravel()), np.sort(seeds)
+    )
 
 
 def test_threaded_group_sampling_bit_identical(setup):
