@@ -56,6 +56,11 @@ def main(argv=None):
                          "rows (same global gradient, less all_to_all "
                          "traffic on locality-ordered graphs; needs "
                          "--feature_sharded)")
+    ap.add_argument("--locality", action="store_true",
+                    help="relabel nodes community-contiguously "
+                         "(locality_order) before training, so contiguous "
+                         "row shards own communities — what makes "
+                         "--align_seeds pay on real graphs")
     args = ap.parse_args(argv)
 
     from pygcn_tpu.apps.common import set_process_title
@@ -90,6 +95,13 @@ def main(argv=None):
             avg_degree=10.0, seed=args.seed, train_per_class=args.n_nodes // (4 * args.n_classes),
             n_val=1000, n_test=2000, build_dense=False, build_bcsr=False, build_ell=False,
         )
+    if args.locality:
+        from pygcn_tpu.parallel.partition import (
+            locality_order,
+            reorder_dataset,
+        )
+
+        data = reorder_dataset(data, locality_order(data.graph))
     a = data.graph.to_scipy().tocsr()
     sampler = NeighborSampler(a, fanouts=args.fanouts, mode="gcn", seed=args.seed)
 

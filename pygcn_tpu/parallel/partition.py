@@ -285,3 +285,27 @@ def reorder_graph(graph: Graph, perm: np.ndarray) -> tuple:
         build_ell=graph.ell is not None,
     )
     return new_graph, inv
+
+
+def reorder_dataset(data, perm: np.ndarray):
+    """Relabel a whole node-classification dataset by ``perm``.
+
+    Applies :func:`reorder_graph` and permutes features/labels/splits
+    consistently, so training on the result is the identical problem under
+    new node ids. Pair with :func:`locality_order` to make communities
+    id-contiguous — the layout that lets contiguous row shards own
+    communities (``shard_feature_rows`` + ``align_shard_size``) and the
+    hybrid BCSR layout fill MXU tiles.
+    """
+    from pygcn_tpu.graph.datasets import NodeClassificationData
+
+    new_graph, inv = reorder_graph(data.graph, perm)
+    return NodeClassificationData(
+        graph=new_graph,
+        features=np.asarray(data.features)[perm],
+        labels=np.asarray(data.labels)[perm],
+        idx_train=inv[np.asarray(data.idx_train)],
+        idx_val=inv[np.asarray(data.idx_val)],
+        idx_test=inv[np.asarray(data.idx_test)],
+        n_classes=data.n_classes,
+    )

@@ -310,6 +310,17 @@ def test_train_sampled_feature_sharded():
     assert 0.0 <= acc <= 1.0
 
 
+def test_train_sampled_locality_aligned():
+    from pygcn_tpu.apps import train_sampled
+
+    acc = train_sampled.main([
+        "--n_nodes", "1500", "--fanouts", "4", "4", "--batch_size", "128",
+        "--epochs", "1", "--shards", "4", "--feature_sharded",
+        "--align_seeds", "--locality",
+    ])
+    assert 0.0 <= acc <= 1.0
+
+
 def test_train_sampled_gat():
     from pygcn_tpu.apps import train_sampled
 

@@ -304,6 +304,33 @@ def test_align_seeds_cuts_ici_volume():
     )
 
 
+def test_reorder_dataset_is_same_problem(setup):
+    """reorder_dataset relabels consistently: same edges, labels, splits."""
+    from pygcn_tpu.parallel.partition import reorder_dataset
+
+    data, a, params = setup
+    rng = np.random.default_rng(9)
+    perm = rng.permutation(data.graph.n_nodes)
+    new = reorder_dataset(data, perm)
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(perm.size)
+
+    np.testing.assert_array_equal(
+        np.asarray(new.features), np.asarray(data.features)[perm]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(new.labels)[inv], np.asarray(data.labels)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(new.labels)[new.idx_train],
+        np.asarray(data.labels)[data.idx_train],
+    )
+    a_new = new.graph.to_scipy().tocsr()
+    np.testing.assert_allclose(
+        a_new[inv][:, inv].toarray(), a.toarray(), rtol=1e-6
+    )
+
+
 def test_threaded_group_sampling_bit_identical(setup):
     data, a, params = setup
     rng = np.random.default_rng(3)
