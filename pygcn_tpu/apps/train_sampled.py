@@ -151,7 +151,6 @@ def main(argv=None):
                            "b": tinit.graphconv_bias(kb, fo)})
     tx = adam_l2(args.lr)
     opt_state = tx.init(params)
-    x_all = jnp.asarray(data.features)
     y_all = np.asarray(data.labels)
 
     dp_step = sample_fn = None
@@ -204,14 +203,15 @@ def main(argv=None):
                 return b, plan
 
         else:
-            x_train = jax.device_put(x_all, repl)
+            x_train = jax.device_put(np.asarray(data.features), repl)
     else:
-        x_train = x_all
+        x_train = jnp.asarray(data.features)
 
-    # x_all stays device-resident; the step receives node INDICES and gathers
-    # on device (only indices + block metadata cross host->device per batch).
-    # Sampled batches are pow2-padded so the step compiles O(log) times, not
-    # once per minibatch (input-node counts vary batch to batch).
+    # features stay device-resident (sharded or replicated per the flags);
+    # the step receives node INDICES and gathers on device (only indices +
+    # block metadata cross host->device per batch). Sampled batches are
+    # pow2-padded so the step compiles O(log) times, not once per minibatch
+    # (input-node counts vary batch to batch).
     @jax.jit
     def step(params, opt_state, blocks, input_nodes, x_full, y):
         def loss_fn(p):
@@ -262,19 +262,21 @@ def main(argv=None):
             else:
                 params, opt_state, loss = step(
                     params, opt_state, batch.blocks,
-                    jnp.asarray(batch.input_nodes), x_all,
+                    jnp.asarray(batch.input_nodes), x_train,
                     jnp.asarray(y_all[seeds]),
                 )
             n_batches += 1
     loss_val = float(loss)
     dt = time.time() - t0
 
-    # test accuracy with a wider-fanout evaluation sample
+    # test accuracy with a wider-fanout evaluation sample; the input-row
+    # gather runs host-side so the full feature matrix never needs to exist
+    # on a device (the point of --feature_sharded)
     eval_sampler = NeighborSampler(a, fanouts=[f * 2 for f in args.fanouts], seed=1)
     batch = eval_sampler.sample(data.idx_test)
     logits = fwd(
         params, SampledBatch(blocks=batch.blocks, input_nodes=None, output_nodes=None),
-        x_all[jnp.asarray(batch.input_nodes)],
+        jnp.asarray(np.asarray(data.features)[batch.input_nodes]),
     )
     acc = float((np.asarray(logits).argmax(1) == y_all[data.idx_test]).mean())
     print(f"{n_batches} minibatches in {dt:.1f}s "

@@ -123,7 +123,7 @@ class NeighborSampler:
         on TPU. Padding is appended after sampling (node id 0, zero weights),
         so the sampled values on real rows are identical to ``pad=False``.
         """
-        blocks_np, input_nodes = self.sample_np(seeds, pad=pad)
+        blocks_np, input_nodes, _ = self.sample_np(seeds, pad=pad)
         blocks = [
             SampledBlock(
                 cols=jnp.asarray(cols_local),
@@ -141,11 +141,13 @@ class NeighborSampler:
                   draw_base: "int | None" = None, scratch=None):
         """Host-side core of :meth:`sample`.
 
-        Returns ``(blocks, input_nodes)`` where ``blocks`` is an
+        Returns ``(blocks, input_nodes, n_in_valid)`` where ``blocks`` is an
         innermost-first list of ``(cols[m,K] int32, weights[m,K] f32,
-        self_idx[m] int32)`` NumPy triples. Kept NumPy so multi-shard
-        callers (``parallel/dp_sampled.py``) can re-pad and stack shard
-        batches before a single device transfer.
+        self_idx[m] int32)`` NumPy triples and ``n_in_valid`` is the PRE-pad
+        ``input_nodes`` length (== ``input_nodes.size`` when ``pad=False``;
+        the feature-fetch planner uses it to skip pad entries). Kept NumPy
+        so multi-shard callers (``parallel/dp_sampled.py``) can re-pad and
+        stack shard batches before a single device transfer.
 
         Each call consumes ``len(fanouts)`` RNG draw counters. By default
         they come off the sampler's sequential stream; concurrent callers
@@ -183,6 +185,7 @@ class NeighborSampler:
             blocks_meta.append((cols_local, weights, self_idx, out_nodes))
             out_nodes = in_nodes
 
+        n_in_valid = out_nodes.size
         if pad:
             # Pad each inner node set (and the block arrays shaped by it) to
             # the next power of two. Padded block rows gather node-set entry 0
@@ -216,7 +219,7 @@ class NeighborSampler:
              self_idx.astype(np.int32))
             for cols_local, weights, self_idx, _ in reversed(blocks_meta)
         ]
-        return blocks, out_nodes
+        return blocks, out_nodes, n_in_valid
 
 
 def iter_sampled_batches(

@@ -38,7 +38,12 @@ import numpy as np
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from pygcn_tpu.ops.sampling import NeighborSampler, SampledBatch, SampledBlock
+from pygcn_tpu.ops.sampling import (
+    NeighborSampler,
+    SampledBatch,
+    SampledBlock,
+    _pow2_pad_len as _pow2,
+)
 
 
 def stack_shard_batches(
@@ -83,7 +88,9 @@ def stack_shard_batches(
     input_nodes = np.stack([
         _pad_rows(s[1].astype(np.int32), n_in_pad) for s in shard_samples
     ])
-    n_valid = np.asarray([s[1].size for s in shard_samples], np.int64)
+    # PRE-pad dedup sizes (sample_np pads input_nodes itself, so s[1].size
+    # would overcount): what lets the fetch planner skip every pad entry
+    n_valid = np.asarray([s[2] for s in shard_samples], np.int64)
     return blocks, input_nodes, n_valid
 
 
@@ -176,10 +183,6 @@ class ShardedNeighborSampler:
             blocks=blocks, input_nodes=input_nodes, output_nodes=shard_seeds,
             n_input_valid=n_valid,
         )
-
-
-def _pow2(n: int) -> int:
-    return 1 << max(int(n) - 1, 0).bit_length()
 
 
 def build_fetch_plan(
@@ -300,7 +303,9 @@ def shard_feature_rows(mesh: Mesh, x: np.ndarray, axis: str = "data"):
     pad = g * s - x.shape[0]
     if pad:
         x = np.concatenate([x, np.zeros((pad,) + x.shape[1:], x.dtype)])
-    xs = jax.device_put(jnp.asarray(x), NamedSharding(mesh, P(axis)))
+    # shard straight from host memory — the whole array must never be
+    # committed to any single device (that is the point of this mode)
+    xs = jax.device_put(x, NamedSharding(mesh, P(axis)))
     return xs, s
 
 

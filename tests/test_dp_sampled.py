@@ -62,7 +62,15 @@ def test_stack_shard_batches_shapes(setup):
     blocks, input_nodes, n_valid = stack_shard_batches(samples)
     assert len(blocks) == 2
     assert input_nodes.shape[0] == G
-    assert (n_valid == [s[1].size for s in samples]).all()
+    # n_valid is the PRE-pad dedup size (what the fetch planner trusts):
+    # it must match an unpadded replay of the same draws exactly
+    assert (n_valid == [s[2] for s in samples]).all()
+    assert (n_valid <= input_nodes.shape[1]).all()
+    replay = NeighborSampler(a, fanouts=[3, 2], mode="gcn", seed=7)
+    unpadded = [
+        replay.sample_np(s)[1].size for s in seeds.reshape(G, B)
+    ]
+    assert list(n_valid) == unpadded
     for b in blocks:
         assert b.cols.shape[0] == G
         assert b.cols.shape == b.weights.shape
