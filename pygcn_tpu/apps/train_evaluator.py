@@ -33,6 +33,7 @@ from pygcn_tpu.data.vac_results import load_vac_results
 from pygcn_tpu.apps.common import build_synthetic_world
 from pygcn_tpu.train import (
     EarlyStopping,
+    PreemptionGuard,
     ReduceLROnPlateau,
     adam_l2,
     get_checkpoint_state,
@@ -252,54 +253,79 @@ def main(argv=None):
 
     ckpt_minloss = os.path.join(args.out_dir, "checkpoint_minloss.pkl")
     ckpt_maxcorr = os.path.join(args.out_dir, "checkpoint_maxcorr.pkl")
+    ckpt_last = os.path.join(args.out_dir, "checkpoint_last.pkl")
     start_epoch = 0
-    if args.resume and os.path.exists(ckpt_maxcorr):
-        params, start_epoch, opt_state, sstate = get_checkpoint_state(ckpt_maxcorr)
+    min_val_loss, max_val_corr = np.inf, -np.inf
+    # --resume prefers the preemption checkpoint (exact training state incl.
+    # best-metric watermarks) over the best-metric checkpoint
+    resume_path = next(
+        (p for p in (ckpt_last, ckpt_maxcorr)
+         if args.resume and os.path.exists(p)), None,
+    )
+    if resume_path is not None:
+        params, start_epoch, opt_state, sstate = get_checkpoint_state(resume_path)
         params = jax.tree.map(jnp.asarray, params)
         opt_state = jax.tree.map(jnp.asarray, opt_state)
+        if "sched" in sstate:  # preemption checkpoint: combined state
+            min_val_loss = sstate["min_val_loss"]
+            max_val_corr = sstate["max_val_corr"]
+            sstate = sstate["sched"]
         sched.load_state_dict(sstate)
-        print(f"resumed from epoch {start_epoch}")
+        print(f"resumed from epoch {start_epoch} ({os.path.basename(resume_path)})")
 
     logger = MetricsLogger(os.path.join(args.out_dir, "metrics.jsonl"))
-    min_val_loss, max_val_corr = np.inf, -np.inf
     idx_order = np.asarray(res.idx_train)
     loader_rng = np.random.default_rng(args.seed)
     n_batches = max(1, len(idx_order) // args.batch_size)
-    for epoch in range(start_epoch, start_epoch + args.epochs):
-        train_losses = []
-        if args.data_parallel or args.quicktest:
-            # keep the loader path for sharded/shrunken batches
-            for bx, by in train_loader:
-                params, opt_state, loss = train_step(
-                    params, opt_state, shard_batch(jnp.asarray(bx)), shard_batch(jnp.asarray(by))
-                )
-                train_losses.append(float(loss))
-        else:
-            loader_rng.shuffle(idx_order)
-            losses_dev = []
-            for b in range(n_batches):
-                idx = jnp.asarray(idx_order[b * args.batch_size : (b + 1) * args.batch_size])
-                if idx.shape[0] < args.batch_size:
-                    continue
-                params, opt_state, loss = train_step_idx(
-                    params, opt_state, feats_dev, y_dev, idx
-                )
-                losses_dev.append(loss)
-            train_losses = [float(l) for l in losses_dev]  # one sync per epoch
-        val_loss, val_corr = evaluate(val_loader)
-        logger.log(epoch, train_loss=np.mean(train_losses), val_loss=val_loss,
-                   val_spearman=val_corr)
+    with PreemptionGuard() as guard:
+        for epoch in range(start_epoch, start_epoch + args.epochs):
+            train_losses = []
+            if args.data_parallel or args.quicktest:
+                # keep the loader path for sharded/shrunken batches
+                for bx, by in train_loader:
+                    params, opt_state, loss = train_step(
+                        params, opt_state, shard_batch(jnp.asarray(bx)), shard_batch(jnp.asarray(by))
+                    )
+                    train_losses.append(float(loss))
+            else:
+                loader_rng.shuffle(idx_order)
+                losses_dev = []
+                for b in range(n_batches):
+                    idx = jnp.asarray(idx_order[b * args.batch_size : (b + 1) * args.batch_size])
+                    if idx.shape[0] < args.batch_size:
+                        continue
+                    params, opt_state, loss = train_step_idx(
+                        params, opt_state, feats_dev, y_dev, idx
+                    )
+                    losses_dev.append(loss)
+                train_losses = [float(l) for l in losses_dev]  # one sync per epoch
+            val_loss, val_corr = evaluate(val_loader)
+            logger.log(epoch, train_loss=np.mean(train_losses), val_loss=val_loss,
+                       val_spearman=val_corr)
 
-        if val_loss < min_val_loss:
-            min_val_loss = val_loss
-            save_checkpoint_state(params, epoch, opt_state, sched.state_dict(), ckpt_minloss)
-        if val_corr > max_val_corr:
-            max_val_corr = val_corr
-            save_checkpoint_state(params, epoch, opt_state, sched.state_dict(), ckpt_maxcorr)
-        opt_state, _ = sched.step(max_val_corr, opt_state)
-        if stopper(val_loss):
-            print("Early stopping")
-            break
+            if val_loss < min_val_loss:
+                min_val_loss = val_loss
+                save_checkpoint_state(params, epoch, opt_state, sched.state_dict(), ckpt_minloss)
+            if val_corr > max_val_corr:
+                max_val_corr = val_corr
+                save_checkpoint_state(params, epoch, opt_state, sched.state_dict(), ckpt_maxcorr)
+            opt_state, _ = sched.step(max_val_corr, opt_state)
+            if guard.requested:
+                # preemption: persist the EXACT loop state (next epoch, sched,
+                # best-metric watermarks) and exit cleanly for a --resume rerun
+                save_checkpoint_state(
+                    params, epoch + 1, opt_state,
+                    {"sched": sched.state_dict(), "min_val_loss": min_val_loss,
+                     "max_val_corr": max_val_corr},
+                    ckpt_last,
+                )
+                logger.close()
+                print(f"preempted at epoch {epoch}: saved {ckpt_last}; "
+                      "rerun with --resume to continue")
+                return None
+            if stopper(val_loss):
+                print("Early stopping")
+                break
 
     test_loss, test_corr = evaluate(test_loader)
     print(f"test loss: {test_loss}")

@@ -2,8 +2,10 @@ from pygcn_tpu.train.metrics import accuracy, mse, spearman
 from pygcn_tpu.train.optim import ReduceLROnPlateau, adam_l2
 from pygcn_tpu.train.loop import EarlyStopping
 from pygcn_tpu.train.checkpoint import get_checkpoint_state, save_checkpoint_state
+from pygcn_tpu.train.preempt import PreemptionGuard
 
 __all__ = [
+    "PreemptionGuard",
     "accuracy",
     "mse",
     "spearman",
