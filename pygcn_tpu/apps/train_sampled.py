@@ -61,6 +61,11 @@ def main(argv=None):
                          "(locality_order) before training, so contiguous "
                          "row shards own communities — what makes "
                          "--align_seeds pay on real graphs")
+    ap.add_argument("--out_dir", default=None,
+                    help="write checkpoint_last.pkl per epoch (and on "
+                         "SIGTERM/SIGINT preemption) for --resume")
+    ap.add_argument("--resume", action="store_true",
+                    help="continue from <out_dir>/checkpoint_last.pkl")
     args = ap.parse_args(argv)
 
     from pygcn_tpu.apps.common import set_process_title
@@ -153,6 +158,23 @@ def main(argv=None):
     opt_state = tx.init(params)
     y_all = np.asarray(data.labels)
 
+    ckpt_last = None
+    if args.out_dir:
+        import os
+
+        from pygcn_tpu.train import get_checkpoint_state, save_checkpoint_state
+
+        os.makedirs(args.out_dir, exist_ok=True)
+        ckpt_last = os.path.join(args.out_dir, "checkpoint_last.pkl")
+    start_epoch = 0
+    if args.resume:
+        if not (ckpt_last and os.path.exists(ckpt_last)):
+            raise SystemExit("--resume needs an --out_dir with checkpoint_last.pkl")
+        params, start_epoch, opt_state, _ = get_checkpoint_state(ckpt_last)
+        params = jax.tree.map(jnp.asarray, params)
+        opt_state = jax.tree.map(jnp.asarray, opt_state)
+        print(f"resumed from epoch {start_epoch}")
+
     dp_step = sample_fn = None
     shard_size = None
     if args.feature_sharded and args.shards <= 1:
@@ -224,50 +246,69 @@ def main(argv=None):
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
-    rng = np.random.default_rng(args.seed)
     steps_per_epoch = max(1, len(data.idx_train) // args.batch_size)
 
-    def epoch_seed_batches():
-        perm = rng.permutation(data.idx_train)
+    def epoch_seed_batches(epoch):
+        # per-epoch RNG stream: epoch k's permutation does not depend on
+        # having run epochs 0..k-1, so --resume replays the exact schedule
+        perm = np.random.default_rng([args.seed, epoch]).permutation(data.idx_train)
         for s in range(steps_per_epoch):
             seeds = perm[s * args.batch_size : (s + 1) * args.batch_size]
             if seeds.size < args.batch_size:  # keep shapes static
                 seeds = np.concatenate([seeds, perm[: args.batch_size - seeds.size]])
             yield seeds
 
-    t0 = time.time()
-    n_batches = 0
-    for epoch in range(args.epochs):
-        for seeds, batch in iter_sampled_batches(
-            sampler, epoch_seed_batches(), prefetch=args.prefetch, pad=True,
-            sample_fn=sample_fn,
-        ):
-            if dp_step is not None and args.feature_sharded:
-                batch, plan = batch
-                blocks_d, req_d, loc_d, inv_d, y_d = dp_step.place(
-                    batch.blocks, plan, y_all[batch.output_nodes],
-                )
-                params, opt_state, loss = dp_step(
-                    params, opt_state, blocks_d, req_d, loc_d, inv_d,
-                    x_train, y_d,
-                )
-            elif dp_step is not None:
-                blocks_d, in_d, y_d = dp_step.place(
-                    batch.blocks, batch.input_nodes,
-                    y_all[batch.output_nodes],
-                )
-                params, opt_state, loss = dp_step(
-                    params, opt_state, blocks_d, in_d, x_train, y_d
-                )
-            else:
-                params, opt_state, loss = step(
-                    params, opt_state, batch.blocks,
-                    jnp.asarray(batch.input_nodes), x_train,
-                    jnp.asarray(y_all[seeds]),
-                )
-            n_batches += 1
-    loss_val = float(loss)
-    dt = time.time() - t0
+    import contextlib
+
+    from pygcn_tpu.train import PreemptionGuard
+
+    # without an --out_dir there is nowhere to save, so leave signal
+    # handling alone (ctrl-C keeps its usual meaning)
+    guard = ctx = PreemptionGuard() if ckpt_last else None
+    with ctx if ctx is not None else contextlib.nullcontext():
+        t0 = time.time()
+        n_batches = 0
+        for epoch in range(start_epoch, start_epoch + args.epochs):
+            for seeds, batch in iter_sampled_batches(
+                sampler, epoch_seed_batches(epoch), prefetch=args.prefetch,
+                pad=True, sample_fn=sample_fn,
+            ):
+                if guard is not None and guard.requested:
+                    # preempted mid-epoch: persist params and restart THIS
+                    # epoch on --resume (re-running part of an epoch is
+                    # benign for SGD)
+                    save_checkpoint_state(params, epoch, opt_state, {}, ckpt_last)
+                    print(f"preempted in epoch {epoch}: saved {ckpt_last}; "
+                          "rerun with --resume to continue")
+                    return None
+                if dp_step is not None and args.feature_sharded:
+                    batch, plan = batch
+                    blocks_d, req_d, loc_d, inv_d, y_d = dp_step.place(
+                        batch.blocks, plan, y_all[batch.output_nodes],
+                    )
+                    params, opt_state, loss = dp_step(
+                        params, opt_state, blocks_d, req_d, loc_d, inv_d,
+                        x_train, y_d,
+                    )
+                elif dp_step is not None:
+                    blocks_d, in_d, y_d = dp_step.place(
+                        batch.blocks, batch.input_nodes,
+                        y_all[batch.output_nodes],
+                    )
+                    params, opt_state, loss = dp_step(
+                        params, opt_state, blocks_d, in_d, x_train, y_d
+                    )
+                else:
+                    params, opt_state, loss = step(
+                        params, opt_state, batch.blocks,
+                        jnp.asarray(batch.input_nodes), x_train,
+                        jnp.asarray(y_all[seeds]),
+                    )
+                n_batches += 1
+            if ckpt_last:  # epoch boundary: resumable even after a hard crash
+                save_checkpoint_state(params, epoch + 1, opt_state, {}, ckpt_last)
+        loss_val = float(loss)
+        dt = time.time() - t0
 
     # test accuracy with a wider-fanout evaluation sample; the input-row
     # gather runs host-side so the full feature matrix never needs to exist

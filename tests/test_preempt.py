@@ -97,3 +97,41 @@ def test_evaluator_preemption_saves_and_resumes(gt_csv, tmp_path, monkeypatch):
     epochs = [json.loads(l)["step"]
               for l in open(os.path.join(out_dir, "metrics.jsonl"))]
     assert 0 in epochs and 1 in epochs and 2 in epochs  # continued, not restarted
+
+
+def test_sampled_trainer_checkpoint_and_resume(tmp_path, monkeypatch):
+    from pygcn_tpu.apps import train_sampled
+
+    out_dir = str(tmp_path / "sampled_pre")
+    common = [
+        "--n_nodes", "1500", "--fanouts", "4", "4", "--batch_size", "128",
+        "--prefetch", "0",
+        "--out_dir", out_dir,
+    ]
+
+    class InstantPreemption:
+        requested = True
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *exc):
+            return None
+
+    import pygcn_tpu.train as train_pkg
+
+    monkeypatch.setattr(train_pkg, "PreemptionGuard", InstantPreemption)
+    assert train_sampled.main(common + ["--epochs", "3"]) is None
+    ckpt = os.path.join(out_dir, "checkpoint_last.pkl")
+    assert os.path.exists(ckpt)
+
+    from pygcn_tpu.train import get_checkpoint_state
+
+    _, epoch, _, _ = get_checkpoint_state(ckpt)
+    assert epoch == 0  # mid-epoch preemption restarts the interrupted epoch
+
+    monkeypatch.undo()
+    acc = train_sampled.main(common + ["--epochs", "2", "--resume"])
+    assert 0.0 <= acc <= 1.0  # resumed run completes
+    _, epoch, _, _ = get_checkpoint_state(ckpt)
+    assert epoch == 2  # epoch-boundary checkpoints advanced past both epochs
