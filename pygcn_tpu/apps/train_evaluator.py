@@ -36,7 +36,7 @@ from pygcn_tpu.train import (
     PreemptionGuard,
     ReduceLROnPlateau,
     adam_l2,
-    get_checkpoint_state,
+    load_checkpoint,
     save_checkpoint_state,
 )
 from pygcn_tpu.utils.logging import MetricsLogger
@@ -257,25 +257,30 @@ def main(argv=None):
     start_epoch = 0
     min_val_loss, max_val_corr = np.inf, -np.inf
     # --resume prefers the preemption checkpoint (exact training state incl.
-    # best-metric watermarks) over the best-metric checkpoint
+    # best-metric watermarks + early-stop counters) over the best-metric one
     resume_path = next(
         (p for p in (ckpt_last, ckpt_maxcorr)
          if args.resume and os.path.exists(p)), None,
     )
     if resume_path is not None:
-        params, start_epoch, opt_state, sstate = get_checkpoint_state(resume_path)
-        params = jax.tree.map(jnp.asarray, params)
-        opt_state = jax.tree.map(jnp.asarray, opt_state)
-        if "sched" in sstate:  # preemption checkpoint: combined state
-            min_val_loss = sstate["min_val_loss"]
-            max_val_corr = sstate["max_val_corr"]
-            sstate = sstate["sched"]
-        sched.load_state_dict(sstate)
+        payload = load_checkpoint(resume_path)
+        params = jax.tree.map(jnp.asarray, payload["params"])
+        opt_state = jax.tree.map(jnp.asarray, payload["opt_state"])
+        start_epoch = payload["epoch"]
+        sched.load_state_dict(payload["scheduler_state"])
+        extra = payload.get("extra")
+        if extra is not None:  # preemption checkpoint: exact loop state
+            min_val_loss = float(extra["min_val_loss"])
+            max_val_corr = float(extra["max_val_corr"])
+            stopper.load_state_dict(extra["stopper"])
+        else:
+            # best-metric checkpoint carries no watermarks: seed them from one
+            # eval so the first resumed epoch can't overwrite a better model
+            min_val_loss, max_val_corr = evaluate(val_loader)
         print(f"resumed from epoch {start_epoch} ({os.path.basename(resume_path)})")
 
     logger = MetricsLogger(os.path.join(args.out_dir, "metrics.jsonl"))
     idx_order = np.asarray(res.idx_train)
-    loader_rng = np.random.default_rng(args.seed)
     n_batches = max(1, len(idx_order) // args.batch_size)
     with PreemptionGuard() as guard:
         for epoch in range(start_epoch, start_epoch + args.epochs):
@@ -288,7 +293,9 @@ def main(argv=None):
                     )
                     train_losses.append(float(loss))
             else:
-                loader_rng.shuffle(idx_order)
+                # per-epoch seeded shuffle: a resumed run replays the exact
+                # order an uninterrupted run would have used at this epoch
+                np.random.default_rng([args.seed, epoch]).shuffle(idx_order)
                 losses_dev = []
                 for b in range(n_batches):
                     idx = jnp.asarray(idx_order[b * args.batch_size : (b + 1) * args.batch_size])
@@ -312,12 +319,13 @@ def main(argv=None):
             opt_state, _ = sched.step(max_val_corr, opt_state)
             if guard.requested:
                 # preemption: persist the EXACT loop state (next epoch, sched,
-                # best-metric watermarks) and exit cleanly for a --resume rerun
+                # best-metric watermarks, early-stop counters) in the explicit
+                # `extra` slot and exit cleanly for a --resume rerun
                 save_checkpoint_state(
-                    params, epoch + 1, opt_state,
-                    {"sched": sched.state_dict(), "min_val_loss": min_val_loss,
-                     "max_val_corr": max_val_corr},
-                    ckpt_last,
+                    params, epoch + 1, opt_state, sched.state_dict(), ckpt_last,
+                    extra={"min_val_loss": min_val_loss,
+                           "max_val_corr": max_val_corr,
+                           "stopper": stopper.state_dict()},
                 )
                 logger.close()
                 print(f"preempted at epoch {epoch}: saved {ckpt_last}; "
@@ -330,6 +338,11 @@ def main(argv=None):
     test_loss, test_corr = evaluate(test_loader)
     print(f"test loss: {test_loss}")
     print(f"Spearman correlation: {test_corr}")
+
+    # the run completed: drop the preemption checkpoint so a supervisor's
+    # redundant `--resume` relaunch can't rewind to a stale mid-run epoch
+    if os.path.exists(ckpt_last):
+        os.remove(ckpt_last)
 
     # whole-model handoff for the policy scripts (reference gnn-over-mlp.py:489)
     with open(os.path.join(args.out_dir, "evaluator.pkl"), "wb") as f:

@@ -27,6 +27,26 @@ import jax.numpy as jnp
 from pygcn_tpu.graph.graph import Graph
 
 
+def _transpose_layout(graph: Graph, fwd, t, name: str):
+    """The transpose layout used for the backward/`spmm_t` direction.
+
+    A symmetric graph reuses the forward layout (``A^T == A``). An asymmetric
+    graph MUST carry a prebuilt transpose layout: silently reusing the forward
+    layout would compute ``A @ g`` where the VJP needs ``A^T @ g`` — a wrong
+    gradient with no error. ``Graph.from_coo`` always pairs the layouts; this
+    guard catches hand-constructed graphs.
+    """
+    if graph.is_symmetric:
+        return t if t is not None else fwd
+    if t is None:
+        raise ValueError(
+            f"asymmetric graph has a forward {name} layout but no transpose "
+            f"{name} layout ({name}_t); the backward SpMM would be wrong. "
+            f"Build both (Graph.from_coo does) or mark the graph symmetric."
+        )
+    return t
+
+
 def _resolve_impl(graph: Graph, impl: str) -> str:
     if impl != "auto":
         return impl
@@ -71,13 +91,15 @@ def spmm(graph: Graph, x: jax.Array, impl: str = "auto") -> jax.Array:
             raise ValueError("graph has no ELL layout; build with build_ell=True")
         from pygcn_tpu.ops.ell import ell_spmm_pair
 
-        out = ell_spmm_pair(graph.ell, graph.ell_t or graph.ell, x)
+        out = ell_spmm_pair(graph.ell, _transpose_layout(graph, graph.ell, graph.ell_t, "ell"), x)
     elif impl == "hybrid":
         if graph.hybrid is None:
             raise ValueError("graph has no hybrid layout; build with build_hybrid=True")
         from pygcn_tpu.ops.hybrid import hybrid_spmm_pair
 
-        out = hybrid_spmm_pair(graph.hybrid, graph.hybrid_t or graph.hybrid, x)
+        out = hybrid_spmm_pair(
+            graph.hybrid, _transpose_layout(graph, graph.hybrid, graph.hybrid_t, "hybrid"), x
+        )
     elif impl == "bcsr":
         if graph.bcsr is None:
             raise ValueError("graph has no BCSR layout; build with build_bcsr=True")
@@ -112,11 +134,13 @@ def spmm_t(graph: Graph, x: jax.Array, impl: str = "auto") -> jax.Array:
     elif impl == "ell":
         from pygcn_tpu.ops.ell import ell_spmm_pair
 
-        out = ell_spmm_pair(graph.ell_t or graph.ell, graph.ell, x)
+        out = ell_spmm_pair(_transpose_layout(graph, graph.ell, graph.ell_t, "ell"), graph.ell, x)
     elif impl == "hybrid":
         from pygcn_tpu.ops.hybrid import hybrid_spmm_pair
 
-        out = hybrid_spmm_pair(graph.hybrid_t or graph.hybrid, graph.hybrid, x)
+        out = hybrid_spmm_pair(
+            _transpose_layout(graph, graph.hybrid, graph.hybrid_t, "hybrid"), graph.hybrid, x
+        )
     elif impl == "bcsr":
         if graph.bcsr_t is None:
             raise ValueError("graph has no transpose BCSR layout")

@@ -1,7 +1,11 @@
 from pygcn_tpu.train.metrics import accuracy, mse, spearman
 from pygcn_tpu.train.optim import ReduceLROnPlateau, adam_l2
 from pygcn_tpu.train.loop import EarlyStopping
-from pygcn_tpu.train.checkpoint import get_checkpoint_state, save_checkpoint_state
+from pygcn_tpu.train.checkpoint import (
+    get_checkpoint_state,
+    load_checkpoint,
+    save_checkpoint_state,
+)
 from pygcn_tpu.train.preempt import PreemptionGuard
 
 __all__ = [
@@ -14,6 +18,7 @@ __all__ = [
     "EarlyStopping",
     "save_checkpoint_state",
     "get_checkpoint_state",
+    "load_checkpoint",
     "OrbaxCheckpointer",
 ]
 

@@ -29,13 +29,22 @@ def save_checkpoint_state(
     opt_state,
     scheduler_state: Dict[str, Any],
     savepath: str,
+    *,
+    extra: Dict[str, Any] | None = None,
 ) -> None:
+    """``extra`` is an explicit top-level slot for loop state beyond the
+    reference's 4-field contract (best-metric watermarks, early-stop counters,
+    RNG positions) — consumers check the ``format`` key, never sniff
+    ``scheduler_state``."""
     payload = {
+        "format": 2,
         "epoch": int(epoch),
         "params": _to_numpy(params),
         "opt_state": _to_numpy(opt_state),
         "scheduler_state": scheduler_state,
     }
+    if extra is not None:
+        payload["extra"] = _to_numpy(extra)
     tmp = savepath + ".tmp"
     with open(tmp, "wb") as f:
         pickle.dump(payload, f)
@@ -52,3 +61,10 @@ def get_checkpoint_state(path: str):
         payload["opt_state"],
         payload["scheduler_state"],
     )
+
+
+def load_checkpoint(path: str) -> Dict[str, Any]:
+    """The full checkpoint payload dict, including the optional ``extra``
+    slot (absent key ⇒ a plain best-metric checkpoint)."""
+    with open(path, "rb") as f:
+        return pickle.load(f)

@@ -45,6 +45,18 @@ class EarlyStopping:
             self.counter = 0
         return self.early_stop
 
+    def state_dict(self) -> dict:
+        return {
+            "counter": self.counter,
+            "best_score": self.best_score,
+            "early_stop": self.early_stop,
+        }
+
+    def load_state_dict(self, state: dict) -> None:
+        self.counter = int(state["counter"])
+        self.best_score = state["best_score"]
+        self.early_stop = bool(state["early_stop"])
+
 
 def nll_loss(log_probs: jax.Array, labels: jax.Array) -> jax.Array:
     """Mean negative log-likelihood over the given nodes (labels int [M])."""

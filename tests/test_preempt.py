@@ -79,11 +79,15 @@ def test_evaluator_preemption_saves_and_resumes(gt_csv, tmp_path, monkeypatch):
     ckpt_last = os.path.join(out_dir, "checkpoint_last.pkl")
     assert os.path.exists(ckpt_last)
 
-    from pygcn_tpu.train import get_checkpoint_state
+    from pygcn_tpu.train import load_checkpoint
 
-    _, epoch, _, sstate = get_checkpoint_state(ckpt_last)
-    assert epoch == 1  # resumes AFTER the completed epoch 0
-    assert {"sched", "min_val_loss", "max_val_corr"} <= set(sstate)
+    payload = load_checkpoint(ckpt_last)
+    assert payload["epoch"] == 1  # resumes AFTER the completed epoch 0
+    # explicit extra slot (ADVICE r1): watermarks + early-stop state, no
+    # key-sniffing of scheduler_state
+    assert {"min_val_loss", "max_val_corr", "stopper"} <= set(payload["extra"])
+    assert set(payload["scheduler_state"]) == {"best", "num_bad", "cooldown_counter"}
+    assert "counter" in payload["extra"]["stopper"]
 
     # resume with the real guard: runs to completion from epoch 1
     monkeypatch.undo()
@@ -92,11 +96,20 @@ def test_evaluator_preemption_saves_and_resumes(gt_csv, tmp_path, monkeypatch):
     )
     assert test_loss == test_loss  # finite float, run completed
 
+    # completed run removes the preemption checkpoint so a supervisor's
+    # redundant --resume cannot rewind to the stale mid-run state (ADVICE r1)
+    assert not os.path.exists(ckpt_last)
+
     import json
 
     epochs = [json.loads(l)["step"]
               for l in open(os.path.join(out_dir, "metrics.jsonl"))]
     assert 0 in epochs and 1 in epochs and 2 in epochs  # continued, not restarted
+
+    # a further --resume (now from the best-metric checkpoint) seeds the
+    # watermarks by evaluating once instead of starting at inf/-inf
+    test_loss2, _ = train_evaluator.main(common + ["--epochs", "1", "--resume"])
+    assert test_loss2 == test_loss2
 
 
 def test_sampled_trainer_checkpoint_and_resume(tmp_path, monkeypatch):
