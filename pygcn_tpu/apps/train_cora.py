@@ -42,7 +42,11 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
-    from pygcn_tpu.graph.datasets import load_planetoid, sbm_classification
+    from pygcn_tpu.graph.datasets import (
+        load_planetoid,
+        load_planetoid_structure,
+        sbm_classification,
+    )
     from pygcn_tpu.nn.models import KipfGCN
     from pygcn_tpu.train import EarlyStopping, adam_l2
     from pygcn_tpu.train.loop import bool_mask, make_classifier_steps
@@ -53,6 +57,14 @@ def main(argv=None):
         data = load_planetoid(content, cites, adj_norm=args.adj_norm)
         print(f"loaded {args.dataset}: {data.graph.n_nodes} nodes, "
               f"{data.graph.n_edges} edges, {data.n_classes} classes")
+    elif os.path.exists(cites):
+        # real citation structure, but the .content blob (features/labels) is
+        # missing — train on the true graph with SYNTHETIC features/labels
+        # (accuracy not comparable to real-Cora results)
+        data = load_planetoid_structure(cites, seed=args.seed, adj_norm=args.adj_norm)
+        print(f"loaded {args.dataset} STRUCTURE ({data.graph.n_nodes} nodes, "
+              f"{data.graph.n_edges} normalized edges) — {content} missing, "
+              "features/labels are synthetic")
     else:
         print(f"{content} not found — using synthetic SBM stand-in")
         data = sbm_classification(
