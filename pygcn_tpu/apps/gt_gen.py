@@ -25,6 +25,7 @@ import argparse
 import csv
 import dataclasses
 import os
+from typing import Optional
 
 import numpy as np
 
@@ -38,7 +39,7 @@ from pygcn_tpu.sim.policies import (
 
 
 def batch_policy_outcomes(world: World, vac_vectors: np.ndarray, num_seeds: int, key,
-                          approx: bool = False, mesh=None):
+                          approx: bool = False, mesh=None, return_cbg: bool = False):
     """Simulate a batch of vaccination vectors by vmapping over the
     per-policy post-vaccination attack rates; with ``mesh``, the batch is
     sharded over the mesh's data axis (one simulator fan-out per chip —
@@ -61,9 +62,11 @@ def batch_policy_outcomes(world: World, vac_vectors: np.ndarray, num_seeds: int,
     hist_c, hist_d = out["cases_cbg"], out["deaths_cbg"]
 
     rows = []
+    deaths_per_cbg = []
     for i in range(vac_vectors.shape[0]):
         cases_cbg = np.asarray(hist_c[i]).mean(axis=0)
         deaths_cbg = np.asarray(hist_d[i]).mean(axis=0)
+        deaths_per_cbg.append(deaths_cbg)
         rows.append(
             (
                 float(cases_cbg.sum()),
@@ -72,6 +75,8 @@ def batch_policy_outcomes(world: World, vac_vectors: np.ndarray, num_seeds: int,
                 float((deaths_cbg / world.sizes).std()),
             )
         )
+    if return_cbg:
+        return rows, deaths_per_cbg
     return rows
 
 
@@ -84,6 +89,188 @@ def hybrid_groups(world: World, num_groups: int = 3) -> np.ndarray:
         seps = get_separators(world.sizes, feat, num_groups, normalized=False)
         ids = ids * num_groups + assign_groups(feat, seps)
     return ids
+
+
+def randombag_features(world: World, s_ratio: float, i_ratio: float) -> dict:
+    """The 5 stratification features of the randombag driver
+    (reference ``gt-gen-vac-randombag.py:407-415``): Elder_Ratio,
+    Mean_Household_Income, Essential_Worker_Ratio, Vulnerability, Damage.
+
+    The reference loads precomputed per-CBG infection matrices
+    (``3cbg_avg_infect_{same,diff}``, reference ``:355-366``); the synthetic
+    world derives the equivalent loads from its own co-visitation matrix
+    (diagonal = same-CBG, off-diagonal row sums = cross-CBG, scaled by
+    population), then applies the exact Vulnerability/Damage formulas
+    (``sim.policies.vulnerability_and_damage``, reference ``:384-390``).
+    """
+    from pygcn_tpu.sim.policies import vulnerability_and_damage
+
+    adj = np.asarray(world.adj, np.float64)
+    diag = np.diag(adj)
+    infect_same = diag * world.sizes
+    infect_diff = (adj.sum(axis=1) - diag) * world.sizes
+    vuln, damage = vulnerability_and_damage(
+        infect_same, infect_diff, world.sizes,
+        np.asarray(world.params.death_orig), s_ratio, i_ratio,
+    )
+    return {
+        "Age": (world.demographics[:, 1], True),  # ratios: normalized seps
+        "Mean_Household_Income": (world.demographics[:, 2], False),
+        "Essential_Worker": (world.demographics[:, 3], True),
+        "Vulnerability": (vuln, False),
+        "Damage": (damage, False),
+    }
+
+
+def randombag_groups(
+    world: World,
+    feats: dict,
+    num_groups: int,
+    vaccination_ratio: float,
+    target_cbg_num: int = 5,
+) -> np.ndarray:
+    """Stratified 3^k hybrid bags with small-group merging
+    (reference ``gt-gen-vac-randombag.py:422-466``): per-feature quantile
+    codes combine base-``num_groups``; groups whose population is below the
+    vaccination budget or with fewer than ``target_cbg_num`` CBGs merge into
+    the next group (the last merges backward)."""
+    ids = np.zeros(world.n_cbgs, np.int64)
+    for feat, normalized in feats.values():
+        seps = get_separators(world.sizes, feat, num_groups, normalized=normalized)
+        ids = ids * num_groups + assign_groups(feat, seps)
+
+    target_pop = world.sizes.sum() * vaccination_ratio
+    max_group_idx = num_groups ** len(feats)
+    for i in range(max_group_idx):
+        m = ids == i
+        if not m.any():
+            continue
+        if world.sizes[m].sum() < target_pop or m.sum() < target_cbg_num:
+            ids[m] = max_group_idx - 2 if i == max_group_idx - 1 else i + 1
+    return ids
+
+
+def gini_equity_columns(
+    world: World,
+    deaths_cbg: np.ndarray,
+    gini_quantiles: dict,
+    novac: Optional[dict] = None,
+) -> dict:
+    """Equity metrics for one policy (reference ``gt-gen-vac-randombag.py:
+    129-165``): overall fatality rate plus the Gini coefficient of per-
+    quantile-group death RATES for each demographic feature, absolute and
+    relative to the no-vaccination baseline."""
+    from pygcn_tpu.sim.policies import gini
+
+    out = {"Fatality_Rate_Abs": float(deaths_cbg.sum() / world.sizes.sum())}
+    for feat, groups in gini_quantiles.items():
+        rates = np.array([
+            deaths_cbg[groups == g].sum() / world.sizes[groups == g].sum()
+            for g in range(groups.max() + 1)
+        ])
+        out[f"{feat}_Gini_Abs"] = float(gini(rates))
+    if novac is not None:
+        out["Fatality_Rate_Rel"] = (
+            (out["Fatality_Rate_Abs"] - novac["Fatality_Rate_Abs"])
+            / novac["Fatality_Rate_Abs"]
+        )
+        for feat in gini_quantiles:
+            base = novac[f"{feat}_Gini_Abs"]
+            out[f"{feat}_Gini_Rel"] = (out[f"{feat}_Gini_Abs"] - base) / base
+    else:
+        out["Fatality_Rate_Rel"] = 0.0
+        for feat in gini_quantiles:
+            out[f"{feat}_Gini_Rel"] = 0.0
+    return out
+
+
+def run_randombag(args, world: World, mesh, key):
+    """The G8 stratified-randombag driver (reference
+    ``gt-gen-vac-randombag.py:490-545``): for every non-empty hybrid bag,
+    draw ``num_groupwise`` policies by flooding the vaccination budget down a
+    random permutation of the bag's CBGs, simulate, and append rows with the
+    standard outcome columns plus Gini equity columns, flushed incrementally."""
+    import jax
+
+    from pygcn_tpu.sim.policies import vaccine_distribution_flood
+
+    feats = randombag_features(world, args.s_ratio, args.i_ratio)
+    bag_ids = randombag_groups(
+        world, feats, args.randombag_groups, args.vaccination_ratio
+    )
+    bags = np.unique(bag_ids)
+    print(f"randombag: {bags.size} non-empty bags after merging "
+          f"(of {args.randombag_groups ** len(feats)})")
+
+    # Gini quantile groups over the 3 demographic features
+    # (reference demo_feat_list :82, NUM_GROUPS_FOR_GINI :45)
+    gini_quantiles = {}
+    for feat in ("Age", "Mean_Household_Income", "Essential_Worker"):
+        vals, normalized = feats[feat]
+        seps = get_separators(world.sizes, vals, args.gini_groups, normalized=normalized)
+        gini_quantiles[feat] = assign_groups(vals, seps)
+
+    fields = [
+        "Vaccinated_Idxs", "Total_Cases", "Case_Rates_STD", "Total_Deaths",
+        "Death_Rates_STD", "Hybrid_Group", "Fatality_Rate_Abs", "Fatality_Rate_Rel",
+        "Age_Gini_Abs", "Age_Gini_Rel",
+        "Mean_Household_Income_Gini_Abs", "Mean_Household_Income_Gini_Rel",
+        "Essential_Worker_Gini_Abs", "Essential_Worker_Gini_Rel",
+    ]
+    rng = np.random.default_rng(args.random_seed)
+    new_file = not os.path.exists(args.out)
+    fh = open(args.out, "a", newline="")
+    writer = csv.DictWriter(fh, fieldnames=fields)
+
+    # no-vaccination baseline: row 0 and the reference point for *_Rel
+    key, sub = jax.random.split(key)
+    rows, deaths = batch_policy_outcomes(
+        world, np.zeros((1, world.n_cbgs)), args.num_seeds, sub, args.approx,
+        mesh=mesh, return_cbg=True,
+    )
+    novac = gini_equity_columns(world, deaths[0], gini_quantiles, novac=None)
+    if new_file:
+        writer.writeheader()
+        writer.writerow({"Vaccinated_Idxs": "[]", "Hybrid_Group": -1,
+                         **dict(zip(fields[1:5], rows[0])), **novac})
+        fh.flush()
+
+    pending = []  # (bag, vaccinated_idxs, vector)
+    n = world.n_cbgs
+    for bag in bags:
+        members = bag_ids == bag
+        for _ in range(args.num_groupwise):
+            # random permutation ranks; other bags get an ineligible rank
+            # (reference :496-503)
+            perm = rng.permutation(n).astype(np.float64)
+            perm[~members] = n + 1
+            vec = vaccine_distribution_flood(
+                world.sizes, args.vaccination_ratio, perm,
+                ascending=True, execution_ratio=1.0,
+            )
+            pending.append((int(bag), np.nonzero(vec)[0], vec))
+
+    done = 0
+    while done < len(pending):
+        chunk = pending[done : done + args.batch]
+        key, sub = jax.random.split(key)
+        rows, deaths = batch_policy_outcomes(
+            world, np.stack([c[2] for c in chunk]), args.num_seeds, sub,
+            args.approx, mesh=mesh, return_cbg=True,
+        )
+        for (bag, idxs, _), r, d in zip(chunk, rows, deaths):
+            writer.writerow({
+                "Vaccinated_Idxs": "[" + ", ".join(map(str, idxs.tolist())) + "]",
+                "Hybrid_Group": bag,
+                **dict(zip(fields[1:5], r)),
+                **gini_equity_columns(world, d, gini_quantiles, novac=novac),
+            })
+        fh.flush()
+        done += len(chunk)
+        print(f"{done}/{len(pending)} randombag samples written", flush=True)
+
+    fh.close()
+    print("done:", args.out)
 
 
 def sample_policy(
@@ -138,6 +325,23 @@ def main(argv=None):
                          "ranking (the randombag driver's scheme, G8)")
     ap.add_argument("--grouping", action="store_true",
                     help="sample within hybrid demographic groups (G6 --grouping)")
+    ap.add_argument("--randombag", action="store_true",
+                    help="G8 stratified-randombag mode: 5-feature 3^5 hybrid "
+                         "bags (incl. Vulnerability/Damage) with small-group "
+                         "merging, flood distribution per bag, Gini equity "
+                         "columns (reference gt-gen-vac-randombag.py)")
+    ap.add_argument("--num_groupwise", type=int, default=5,
+                    help="randombag policies per bag (reference :73)")
+    ap.add_argument("--randombag_groups", type=int, default=3,
+                    help="quantiles per feature (reference NUM_GROUPS_FOR_RANDOMBAG)")
+    ap.add_argument("--gini_groups", type=int, default=5,
+                    help="quantiles for the Gini equity table (reference "
+                         "NUM_GROUPS_FOR_GINI)")
+    ap.add_argument("--s_ratio", type=float, default=0.9,
+                    help="S fraction snapshot for the Damage feature (the "
+                         "reference loads SEIR_at_30d)")
+    ap.add_argument("--i_ratio", type=float, default=0.01,
+                    help="I fraction snapshot for the Damage feature")
     ap.add_argument("--safe_distance", type=float, default=0.0,
                     help="rejection-sampling distance in demographic space (G7)")
     ap.add_argument("--safe_metric", choices=["l2", "l1", "single"], default="l2")
@@ -176,6 +380,11 @@ def main(argv=None):
         msa_name=args.msa_name, vaccination_time=24 * args.vaccination_time,
         seed=args.random_seed,
     )
+    if args.randombag:
+        if args.quick_test:
+            args.num_groupwise = 1
+        return run_randombag(args, world, mesh, jax.random.key(args.random_seed))
+
     group_ids = hybrid_groups(world)
     from pygcn_tpu.data.features import standardize
 

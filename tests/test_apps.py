@@ -48,6 +48,43 @@ def test_gt_gen_grouping_and_safety(tmp_path):
     assert len(pd.read_csv(path)) == 5
 
 
+def test_gt_gen_randombag(tmp_path):
+    """G8 stratified-randombag mode (reference gt-gen-vac-randombag.py):
+    bags with merged small groups, flood distribution per bag, Gini equity
+    columns relative to the no-vac baseline."""
+    from pygcn_tpu.apps import gt_gen
+
+    path = str(tmp_path / "vac_rb.csv")
+    gt_gen.main([
+        "--out", path, "--randombag", "--num_groupwise", "2", "--batch", "8",
+        "--num_seeds", "2", "--hours", "48", "--n_cbgs", "48",
+        "--vaccination_ratio", "0.05",
+    ])
+    import pandas as pd
+
+    df = pd.read_csv(path)
+    for col in ("Hybrid_Group", "Fatality_Rate_Abs", "Fatality_Rate_Rel",
+                "Age_Gini_Abs", "Age_Gini_Rel",
+                "Mean_Household_Income_Gini_Abs", "Essential_Worker_Gini_Rel"):
+        assert col in df.columns
+    # row 0 is the no-vac baseline: rel columns identically 0
+    assert df["Vaccinated_Idxs"].iloc[0] == "[]"
+    assert df["Fatality_Rate_Rel"].iloc[0] == 0.0
+    assert df["Age_Gini_Rel"].iloc[0] == 0.0
+    # every bag contributed num_groupwise samples
+    bags = df["Hybrid_Group"].iloc[1:]
+    assert (bags.value_counts() == 2).all()
+    assert len(df) == 1 + 2 * bags.nunique()
+    # vaccinated sets are non-empty and within range
+    import ast
+
+    for s in df["Vaccinated_Idxs"].iloc[1:]:
+        idxs = ast.literal_eval(s)
+        assert len(idxs) > 0 and max(idxs) < 48
+    # Gini columns are valid coefficients
+    assert ((df["Age_Gini_Abs"] >= 0) & (df["Age_Gini_Abs"] <= 1)).all()
+
+
 def test_train_evaluator_and_generator(gt_csv, tmp_path):
     from pygcn_tpu.apps import train_evaluator, train_generator
 
