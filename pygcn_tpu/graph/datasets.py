@@ -329,6 +329,59 @@ def sbm_classification(
     )
 
 
+def community_graph(
+    n: int,
+    avg_degree: float,
+    *,
+    community_size: int = 256,
+    p_in: float = 0.7,
+    power: float = 2.2,
+    seed: int = 0,
+    shuffle: bool = True,
+) -> sp.coo_matrix:
+    """Degree-corrected planted-partition graph (arxiv/products-like).
+
+    Real-world graphs cluster: a fraction ``p_in`` of edges falls inside
+    communities of ~``community_size`` nodes, the rest follows a power-law
+    (Chung-Lu) background — the regime where the hybrid BCSR+ELL layout pays
+    (PERF_NOTES.md). ``shuffle=True`` randomly relabels nodes so benchmarks
+    must recover the structure via ``locality_order`` the way a real
+    arbitrarily-labeled dataset would.
+    """
+    rng = np.random.default_rng(seed)
+    e = int(n * avg_degree)
+    e_in = int(e * p_in)
+    n_comm = max(1, n // community_size)
+    # community sizes ~ uniform around community_size (node i -> comm i//size)
+    comm_of = np.minimum(np.arange(n) // community_size, n_comm - 1)
+    comm_start = np.searchsorted(comm_of, np.arange(n_comm))
+    comm_end = np.append(comm_start[1:], n)
+
+    # within-community edges: community picked proportional to its size
+    sizes = comm_end - comm_start
+    c = rng.choice(n_comm, e_in, p=sizes / sizes.sum())
+    src_in = comm_start[c] + (rng.uniform(size=e_in) * sizes[c]).astype(np.int64)
+    dst_in = comm_start[c] + (rng.uniform(size=e_in) * sizes[c]).astype(np.int64)
+
+    # background: Chung-Lu power-law endpoints
+    w = (1.0 - rng.uniform(size=n)) ** (-1.0 / (power - 1.0))
+    p = w / w.sum()
+    e_bg = e - e_in
+    src_bg = rng.choice(n, e_bg, p=p)
+    dst_bg = rng.choice(n, e_bg, p=p)
+
+    src = np.concatenate([src_in, src_bg])
+    dst = np.concatenate([dst_in, dst_bg])
+    mask = src != dst
+    src, dst = src[mask], dst[mask]
+    if shuffle:
+        relabel = rng.permutation(n)
+        src, dst = relabel[src], relabel[dst]
+    m = sp.coo_matrix((np.ones(src.size, np.float32), (src, dst)), shape=(n, n))
+    m.sum_duplicates()
+    return m.tocoo()
+
+
 def chung_lu_graph(
     n: int,
     avg_degree: float,

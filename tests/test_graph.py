@@ -128,3 +128,29 @@ def test_sym_normalize():
     deg = d.sum(1)
     expected = d / np.sqrt(np.outer(deg, deg))
     assert np.allclose(a.toarray(), expected)
+
+
+def test_community_graph_structure():
+    """The bench workload generator: ~p_in of edges inside ~community_size
+    blocks, power-law background, optional id shuffle (bench.py r2)."""
+    from pygcn_tpu.graph.datasets import community_graph
+
+    n, size = 2048, 128
+    m = community_graph(n, 10.0, community_size=size, p_in=0.7, seed=0,
+                        shuffle=False)
+    comm = np.minimum(np.arange(n) // size, n // size - 1)
+    within = (comm[m.row] == comm[m.col]).mean()
+    assert 0.55 < within < 0.85  # ~p_in, minus duplicate-collapse noise
+    assert m.shape == (n, n)
+    assert (m.row != m.col).all()  # no self loops
+
+    # shuffling relabels nodes but preserves the degree multiset
+    ms = community_graph(n, 10.0, community_size=size, p_in=0.7, seed=0,
+                         shuffle=True)
+    assert ms.nnz == m.nnz
+    deg = np.bincount(m.row, minlength=n)
+    deg_s = np.bincount(ms.row, minlength=n)
+    assert np.array_equal(np.sort(deg), np.sort(deg_s))
+    # shuffled labels scatter communities (id-contiguous blocks lose edges)
+    within_s = (comm[ms.row] == comm[ms.col]).mean()
+    assert within_s < 0.2
