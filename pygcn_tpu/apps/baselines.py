@@ -32,20 +32,50 @@ from pygcn_tpu.data.vac_results import load_vac_results
 
 
 def numpy_ols(x: np.ndarray, y: np.ndarray):
-    """OLS with intercept: returns dict of coef, t-stats, r2, r2_adj."""
+    """Closed-form OLS with intercept and the full statsmodels-``summary()``
+    inference set (the reference prints ``results.summary()`` at its
+    ``regression.py:163-185``; statsmodels is absent in this environment):
+    coefficients, standard errors, t-stats, two-sided p-values, R², adjusted
+    R², the model F-statistic with its p-value, and (n, dof)."""
+    from scipy import stats
+
     n, k = x.shape
     xd = np.concatenate([np.ones((n, 1)), x], axis=1)
     coef, *_ = np.linalg.lstsq(xd, y, rcond=None)
     resid = y - xd @ coef
     dof = max(n - k - 1, 1)
-    sigma2 = float(resid @ resid) / dof
+    ss_res = float(resid @ resid)
+    sigma2 = ss_res / dof
     xtx_inv = np.linalg.pinv(xd.T @ xd)
     se = np.sqrt(np.clip(np.diag(xtx_inv) * sigma2, 1e-30, None))
     tstats = coef / se
+    pvals = 2.0 * stats.t.sf(np.abs(tstats), dof)
     ss_tot = float(((y - y.mean()) ** 2).sum())
-    r2 = 1.0 - float(resid @ resid) / max(ss_tot, 1e-30)
+    r2 = 1.0 - ss_res / max(ss_tot, 1e-30)
     r2_adj = 1.0 - (1 - r2) * (n - 1) / dof
-    return {"coef": coef, "t": tstats, "r2": r2, "r2_adj": r2_adj}
+    f_stat = (r2 / max(1 - r2, 1e-30)) * (dof / k)
+    f_pval = float(stats.f.sf(f_stat, k, dof))
+    return {
+        "coef": coef, "se": se, "t": tstats, "p": pvals,
+        "r2": r2, "r2_adj": r2_adj, "f_stat": f_stat, "f_pval": f_pval,
+        "n": n, "dof": dof,
+    }
+
+
+def print_ols_summary(fit: dict, target: str, feat_names=None) -> None:
+    """A statsmodels-style coefficient table (reference ``regression.py``
+    prints ``summary()`` per target)."""
+    k = fit["coef"].size - 1
+    names = ["const"] + list(
+        feat_names if feat_names is not None else (f"x{i}" for i in range(k))
+    )
+    print(f"[OLS] target={target}  n={fit['n']}  "
+          f"R2={fit['r2']:.4f}  R2_adj={fit['r2_adj']:.4f}  "
+          f"F={fit['f_stat']:.2f} (p={fit['f_pval']:.3g})")
+    print(f"    {'feature':<14} {'coef':>10} {'se':>10} {'t':>8} {'P>|t|':>8}")
+    for i, name in enumerate(names):
+        print(f"    {name:<14} {fit['coef'][i]:>10.4g} {fit['se'][i]:>10.4g} "
+              f"{fit['t'][i]:>8.2f} {fit['p'][i]:>8.3g}")
 
 
 def build_world_and_features(args):
@@ -131,12 +161,11 @@ def run_summary_ols(args):
     x = summary_stats(node_feats, res.vac_tags)
     targets = res.graph_labels
     names = ["Total_Cases", "Case_Rates_STD", "Total_Deaths", "Death_Rates_STD"]
+    base = ["size", "elder", "income", "ew", "deg", "close", "betw", "mobility"]
+    feat_names = [f"mean_{b}" for b in base] + [f"std_{b}" for b in base]
     for j in range(targets.shape[1]):
         fit = numpy_ols(x, targets[:, j].astype(np.float64))
-        print(f"[OLS] target={names[j]} r2={fit['r2']:.4f} r2_adj={fit['r2_adj']:.4f}")
-        top = np.argsort(-np.abs(fit["t"][1:]))[:3]
-        for k in top:
-            print(f"    feat{k}: coef={fit['coef'][k + 1]:.4g} t={fit['t'][k + 1]:.2f}")
+        print_ols_summary(fit, names[j], feat_names[: x.shape[1]])
     return fit
 
 

@@ -90,3 +90,26 @@ def test_visualize_and_curves_write_png(tmp_path):
     c = str(tmp_path / "curves.png")
     plot_curves({"train": [3, 2, 1], "val": [4, 3, 2.5]}, save_path=c)
     assert os.path.getsize(c) > 0
+
+
+def test_numpy_ols_matches_scipy_linregress():
+    """The closed-form OLS inference stats (se/t/p/R2/F) match scipy's
+    reference implementation in the single-regressor case (the reference
+    prints statsmodels summary(); regression.py:163-185)."""
+    from scipy import stats
+
+    from pygcn_tpu.apps.baselines import numpy_ols
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(60, 1))
+    y = 2.5 * x[:, 0] + 1.0 + rng.normal(scale=0.5, size=60)
+    fit = numpy_ols(x, y)
+    ref = stats.linregress(x[:, 0], y)
+    np.testing.assert_allclose(fit["coef"][1], ref.slope, rtol=1e-10)
+    np.testing.assert_allclose(fit["coef"][0], ref.intercept, rtol=1e-10)
+    np.testing.assert_allclose(fit["se"][1], ref.stderr, rtol=1e-8)
+    np.testing.assert_allclose(fit["p"][1], ref.pvalue, rtol=1e-8)
+    np.testing.assert_allclose(fit["r2"], ref.rvalue**2, rtol=1e-10)
+    # single regressor: F == t^2 and the p-values agree
+    np.testing.assert_allclose(fit["f_stat"], fit["t"][1] ** 2, rtol=1e-8)
+    np.testing.assert_allclose(fit["f_pval"], ref.pvalue, rtol=1e-8)
