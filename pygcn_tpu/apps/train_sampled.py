@@ -20,6 +20,8 @@ import time
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--n_nodes", type=int, default=20000)
+    ap.add_argument("--avg_degree", type=float, default=10.0,
+                    help="synthetic-graph density (Reddit-config ~489)")
     ap.add_argument("--feat_dim", type=int, default=64)
     ap.add_argument("--hidden", type=int, default=64)
     ap.add_argument("--n_classes", type=int, default=8)
@@ -97,7 +99,8 @@ def main(argv=None):
     else:
         data = sbm_classification(
             n=args.n_nodes, n_classes=args.n_classes, feat_dim=args.feat_dim,
-            avg_degree=10.0, seed=args.seed, train_per_class=args.n_nodes // (4 * args.n_classes),
+            avg_degree=args.avg_degree, seed=args.seed,
+            train_per_class=args.n_nodes // (4 * args.n_classes),
             n_val=1000, n_test=2000, build_dense=False, build_bcsr=False, build_ell=False,
         )
     if args.locality:

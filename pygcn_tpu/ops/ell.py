@@ -108,6 +108,36 @@ H_CHUNK = 128  # gather cost is per-row and flat up to 512 B/row, with a
 # cliff above (see PERF_NOTES.md): split wide feature matrices into
 # 128-column chunks so every gather row stays <= 512 B.
 
+# Max f32 elements in one bucket's gathered [rows, k, H] intermediate before
+# the rows are processed in lax.map chunks. XLA materializes the gathered
+# messages when its gather+reduce fusion gives up, which at ogbn-products
+# scale (62M slots x H=128 = 32 GB) exceeds HBM; chunking bounds the live
+# intermediate to ~4 GiB while arxiv-scale graphs (0.74G elems) stay on the
+# measured unchunked path.
+ELL_CHUNK_BUDGET_ELEMS = 1 << 30
+
+
+def _bucket_partial(x: jax.Array, cols: jax.Array, vals: jax.Array) -> jax.Array:
+    """One bucket's per-virtual-row partial sums ``[nb, H]``."""
+    nb, k = cols.shape
+    h = x.shape[1]
+    if nb * k * h <= ELL_CHUNK_BUDGET_ELEMS:
+        g = jnp.take(x, cols.reshape(-1), axis=0).reshape(nb, k, h)
+        return (g * vals[..., None]).sum(axis=1)
+    rows_per_chunk = max(1, ELL_CHUNK_BUDGET_ELEMS // (k * h))
+    n_chunks = -(-nb // rows_per_chunk)
+    pad = n_chunks * rows_per_chunk - nb
+    cols_p = jnp.pad(cols, ((0, pad), (0, 0))).reshape(n_chunks, rows_per_chunk, k)
+    vals_p = jnp.pad(vals, ((0, pad), (0, 0))).reshape(n_chunks, rows_per_chunk, k)
+
+    def body(cv):
+        c, v = cv
+        g = jnp.take(x, c.reshape(-1), axis=0).reshape(rows_per_chunk, k, h)
+        return (g * v[..., None]).sum(axis=1)
+
+    out = jax.lax.map(body, (cols_p, vals_p))
+    return out.reshape(n_chunks * rows_per_chunk, h)[:nb]
+
 
 def ell_spmm_raw(ell: ELL, x: jax.Array) -> jax.Array:
     """``A @ x`` without custom VJP (autodiff reintroduces edge scatters)."""
@@ -120,9 +150,7 @@ def ell_spmm_raw(ell: ELL, x: jax.Array) -> jax.Array:
     partials = []
     vrows = []
     for cols, vals, rows in zip(ell.cols, ell.vals, ell.rows):
-        nb, k = cols.shape
-        g = jnp.take(x, cols.reshape(-1), axis=0).reshape(nb, k, x.shape[1])
-        partials.append((g * vals[..., None]).sum(axis=1))
+        partials.append(_bucket_partial(x, cols, vals))
         vrows.append(rows)
     p = jnp.concatenate(partials, axis=0)
     r = jnp.concatenate(vrows, axis=0)

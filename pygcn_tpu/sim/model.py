@@ -218,13 +218,20 @@ def _binomial(key, n, p, approx=False):
     p = jnp.clip(p, 0.0, 1.0)
     if approx:
         return _fast_count_draw(key, n * p, n * p * (1.0 - p), n)
-    return jax.random.binomial(key, n, p)
+    # distribution-exact, while_loop-free (sim/draws.py) — jax.random.binomial
+    # lowers to per-element rejection loops that serialize on TPU (37x slower
+    # than approx at production scale before this, DEMO.md r1)
+    from pygcn_tpu.sim.draws import binomial_exact
+
+    return binomial_exact(key, n, p)
 
 
 def _poisson(key, lam, approx=False):
     if approx:
         return _fast_count_draw(key, lam, lam, jnp.inf)
-    return jax.random.poisson(key, lam).astype(jnp.float32)
+    from pygcn_tpu.sim.draws import poisson_exact
+
+    return poisson_exact(key, lam)
 
 
 _SMALL_MEAN = 4.0

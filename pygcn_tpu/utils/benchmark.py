@@ -23,18 +23,25 @@ def time_chained(
     *,
     iters: int = 32,
     reps: int = 5,
+    args: tuple = (),
 ) -> float:
-    """Median seconds per application of ``step_fn`` (x → x, same shape)."""
+    """Median seconds per application of ``step_fn`` (x → x, same shape).
+
+    Pass large pytrees (graphs, weight sets) via ``args`` rather than closing
+    over them: ``step_fn(x, *args)`` receives them as jit ARGUMENTS. Arrays
+    closed over become jaxpr constants, which the axon tunnel's remote-compile
+    rejects above ~200 MB (HTTP 413) and which bloat any cache key.
+    """
     import jax
     import jax.numpy as jnp
 
     @jax.jit
-    def run(x, n):
-        return jax.lax.fori_loop(0, n, lambda i, v: step_fn(v), x)
+    def run(x, n, *a):
+        return jax.lax.fori_loop(0, n, lambda i, v: step_fn(v, *a), x)
 
     def timed(n) -> float:
         t0 = time.perf_counter()
-        out = run(init, n)
+        out = run(init, n, *args)
         # force real completion: bytes must reach the host
         float(jax.device_get(jnp.sum(out)))
         return time.perf_counter() - t0

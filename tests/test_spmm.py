@@ -303,3 +303,18 @@ def test_hybrid_tile_budget():
         np.asarray(hybrid_spmm_raw(zero, x)), m.toarray() @ np.asarray(x),
         rtol=2e-4, atol=2e-4,
     )
+
+
+def test_ell_chunked_budget_matches(monkeypatch):
+    """When a bucket's gathered intermediate exceeds the element budget the
+    rows run through lax.map chunks — results identical (the products-scale
+    OOM guard, PERF_NOTES r2)."""
+    import pygcn_tpu.ops.ell as ell_mod
+
+    g, a = random_graph(n=300, e=4000, build_ell=True)
+    x = jax.random.normal(jax.random.key(13), (g.n_nodes, 16))
+    ref = np.asarray(ell_mod.ell_spmm_raw(g.ell, x))
+    monkeypatch.setattr(ell_mod, "ELL_CHUNK_BUDGET_ELEMS", 1024)
+    chunked = np.asarray(ell_mod.ell_spmm_raw(g.ell, x))
+    np.testing.assert_allclose(ref, chunked, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(ref, a @ np.asarray(x), rtol=2e-4, atol=2e-4)
