@@ -81,7 +81,8 @@ def print_ols_summary(fit: dict, target: str, feat_names=None) -> None:
 def build_world_and_features(args):
     world = build_synthetic_world(
         n_cbgs=args.n_cbgs, n_pois=args.n_pois, hours=args.hours,
-        msa_name=args.msa_name, seed=args.seed,
+        msa_name=args.msa_name,
+        seed=args.seed if getattr(args, "world_seed", None) is None else args.world_seed,
     )
     res = load_vac_results(args.vac_result_path, rel_result=True)
     cent = centrality_features(world.adj)
@@ -198,6 +199,9 @@ def main(argv=None):
     ap.add_argument("--target_code", type=int, default=0)
     ap.add_argument("--quicktest", action="store_true")
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--world_seed", type=int, default=None,
+                    help="synthetic-world seed (default: --seed); fix it to "
+                         "the gt CSV's world seed when varying --seed")
     ap.add_argument("--n_cbgs", type=int, default=64)
     ap.add_argument("--n_pois", type=int, default=20)
     ap.add_argument("--hours", type=int, default=96)

@@ -79,6 +79,11 @@ def main(argv=None):
                          "scaffold at gnn-over-mlp.py:434-480); 0 = off")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--world_seed", type=int, default=None,
+                    help="synthetic-world seed (default: --seed). Set this "
+                         "to the gt CSV's world seed when varying --seed for "
+                         "model-init variance — the world must stay matched "
+                         "to the ground truth")
     ap.add_argument("--n_cbgs", type=int, default=64)
     ap.add_argument("--n_pois", type=int, default=20)
     ap.add_argument("--hours", type=int, default=96)
@@ -121,7 +126,8 @@ def main(argv=None):
 
     world = build_synthetic_world(
         n_cbgs=args.n_cbgs, n_pois=args.n_pois, hours=args.hours,
-        msa_name=args.msa_name, seed=args.seed,
+        msa_name=args.msa_name,
+        seed=args.seed if args.world_seed is None else args.world_seed,
     )
     res = load_vac_results(args.vac_result_path, rel_result=args.rel_result)
     node_feats = build_predictor_features(world, res)

@@ -26,7 +26,8 @@ from pygcn_tpu.parallel.partition import DistPlan
 
 
 def make_dist_spmm(
-    mesh: Mesh, plan: DistPlan, axis: str = "graph", col_axis: str | None = None
+    mesh: Mesh, plan: DistPlan, axis: str = "graph", col_axis: str | None = None,
+    parts: str = "full",
 ):
     """Build the shard_mapped SpMM. ``x``: [P·S, F] sharded P(axis) → same.
 
@@ -35,49 +36,70 @@ def make_dist_spmm(
     column-wise independent, so a data-sharded wide batch stays put — no
     all-gather over the data axis, the halo all_to_all moves only the local
     column shard).
+
+    ``parts`` selects a component for cost attribution (``bench_scaling.py
+    --halo_report``): ``"local"`` skips the halo exchange and remote
+    aggregation entirely; ``"halo"`` runs only the boundary gather +
+    all_to_all + remote aggregation. ``"full"`` (default) is the real op —
+    the two component timings bracket it, and their overshoot over the full
+    time is the measured comm/compute overlap.
     """
 
     use_ell = plan.loc_ell is not None and plan.rem_ell is not None
+    if parts not in ("full", "local", "halo"):
+        raise ValueError(f"unknown parts {parts!r}")
 
     def local_fn(x, loc_edges, rem_edges, send_idx):
         # shard_map delivers the per-device slices with the leading shard axis
         # collapsed to size 1.
         send_idx = send_idx[0]  # [P, halo]
 
-        outgoing = jnp.take(x, send_idx.reshape(-1), axis=0).reshape(
-            send_idx.shape[0], send_idx.shape[1], x.shape[1]
-        )
-        halo_in = jax.lax.all_to_all(
-            outgoing, axis, split_axis=0, concat_axis=0, tiled=True
-        )  # [P, halo, F]: slice o = rows shard o sent to us
-        halo_flat = halo_in.reshape(-1, x.shape[1])
+        if parts != "local":
+            outgoing = jnp.take(x, send_idx.reshape(-1), axis=0).reshape(
+                send_idx.shape[0], send_idx.shape[1], x.shape[1]
+            )
+            halo_in = jax.lax.all_to_all(
+                outgoing, axis, split_axis=0, concat_axis=0, tiled=True
+            )  # [P, halo, F]: slice o = rows shard o sent to us
+            halo_flat = halo_in.reshape(-1, x.shape[1])
+        else:
+            halo_flat = jnp.zeros((1, x.shape[1]), x.dtype)
 
+        y_local = y_remote = None
         if use_ell:
             from pygcn_tpu.ops.ell import ell_apply_arrays
 
             (lc, lv, lr) = loc_edges
             (rc, rv, rr) = rem_edges
-            y_local = ell_apply_arrays(
-                tuple(c[0] for c in lc), tuple(v[0] for v in lv),
-                tuple(r[0] for r in lr), plan.shard_size, x,
-            )
-            y_remote = ell_apply_arrays(
-                tuple(c[0] for c in rc), tuple(v[0] for v in rv),
-                tuple(r[0] for r in rr), plan.shard_size, halo_flat,
-            )
+            if parts != "halo":
+                y_local = ell_apply_arrays(
+                    tuple(c[0] for c in lc), tuple(v[0] for v in lv),
+                    tuple(r[0] for r in lr), plan.shard_size, x,
+                )
+            if parts != "local":
+                y_remote = ell_apply_arrays(
+                    tuple(c[0] for c in rc), tuple(v[0] for v in rv),
+                    tuple(r[0] for r in rr), plan.shard_size, halo_flat,
+                )
         else:
             loc_s, loc_r, loc_w = (e[0] for e in loc_edges)
             rem_h, rem_r, rem_w = (e[0] for e in rem_edges)
-            y_local = jax.ops.segment_sum(
-                jnp.take(x, loc_s, axis=0) * loc_w[:, None],
-                loc_r,
-                num_segments=plan.shard_size,
-            )
-            y_remote = jax.ops.segment_sum(
-                jnp.take(halo_flat, rem_h, axis=0) * rem_w[:, None],
-                rem_r,
-                num_segments=plan.shard_size,
-            )
+            if parts != "halo":
+                y_local = jax.ops.segment_sum(
+                    jnp.take(x, loc_s, axis=0) * loc_w[:, None],
+                    loc_r,
+                    num_segments=plan.shard_size,
+                )
+            if parts != "local":
+                y_remote = jax.ops.segment_sum(
+                    jnp.take(halo_flat, rem_h, axis=0) * rem_w[:, None],
+                    rem_r,
+                    num_segments=plan.shard_size,
+                )
+        if y_local is None:
+            return y_remote
+        if y_remote is None:
+            return y_local
         return y_local + y_remote
 
     if use_ell:

@@ -101,3 +101,24 @@ def test_locality_order_reduces_remote_edges():
     a_old = g_scrambled.to_scipy().toarray()
     a_new = g_ordered.to_scipy().toarray()
     np.testing.assert_allclose(a_new[np.ix_(inv, inv)], a_old, rtol=1e-6)
+
+
+def test_dist_spmm_parts_decomposition():
+    """The 'local'/'halo' component builds (bench_scaling --halo_report cost
+    attribution) sum exactly to the full distributed SpMM."""
+    g, a = make_case()
+    mesh = make_mesh([4], ["graph"])
+    plan = build_dist_plan(g, 4)
+    full = make_dist_spmm(mesh, plan)
+    local = make_dist_spmm(mesh, plan, parts="local")
+    halo = make_dist_spmm(mesh, plan, parts="halo")
+
+    x = np.random.default_rng(2).normal(size=(g.n_nodes, 16)).astype(np.float32)
+    xp = shard_features(pad_node_features(jnp.asarray(x), plan), mesh)
+    y_full = np.asarray(jax.jit(full)(xp))
+    y_sum = np.asarray(jax.jit(local)(xp)) + np.asarray(jax.jit(halo)(xp))
+    np.testing.assert_allclose(y_full, y_sum, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(y_full[: g.n_nodes], a @ x, rtol=2e-4, atol=2e-4)
+
+    with pytest.raises(ValueError, match="unknown parts"):
+        make_dist_spmm(mesh, plan, parts="bogus")
