@@ -187,6 +187,15 @@ def build_edge_map(graph: Graph) -> EdgeMap:
     return EdgeMap(eidx=tuple(eidx_out), sentinel=sentinel)
 
 
+# Gather each bucket's source feature block once in pass 1 and reuse it for
+# aggregation in pass 3, vs re-gathering plus a separate narrow [N, H] logit
+# gather. MEASURED A WASH on the v5e forward (180.5 vs 182.9 ms at the
+# arxiv GAT config — the slot gathers are not the bottleneck there) and an
+# HBM OOM on the train step (every bucket's [nb, k, H·F'] block becomes an
+# autodiff residual). Default stays False; the flag preserves the A/B.
+REUSE_GATHER = False
+
+
 def gat_conv_ell(
     graph: Graph,
     em: EdgeMap,
@@ -214,16 +223,24 @@ def gat_conv_ell(
     """
     ell = graph.ell
     n, h, f = s.shape
-    logit_src = jnp.einsum("nhf,hf->nh", s, a_src)  # [N, H]
+    logit_src = None if REUSE_GATHER else jnp.einsum("nhf,hf->nh", s, a_src)
     logit_dst = jnp.einsum("nhf,hf->nh", s, a_dst)
     s2 = s.reshape(n, h * f)
 
-    # pass 1: per-slot logits, per-vrow max partials
-    e_blocks, valid_blocks, max_parts, vrows = [], [], [], []
+    # pass 1: gather the source feature blocks ONCE, compute logits on the
+    # gathered data (the sender logit becomes a VPU einsum on the block
+    # instead of a second slot gather), per-vrow max partials
+    g_blocks, e_blocks, valid_blocks, max_parts, vrows = [], [], [], [], []
     for cols, eidx, rows in zip(ell.cols, em.eidx, ell.rows):
         nb, k = cols.shape
         valid = (eidx != em.sentinel)[..., None]  # [nb, k, 1]
-        lsrc = jnp.take(logit_src, cols.reshape(-1), axis=0).reshape(nb, k, h)
+        if REUSE_GATHER:
+            g = jnp.take(s2, cols.reshape(-1), axis=0).reshape(nb, k, h, f)
+            g_blocks.append(g)
+            lsrc = jnp.einsum("bkhf,hf->bkh", g, a_src)
+        else:
+            g_blocks.append(None)
+            lsrc = jnp.take(logit_src, cols.reshape(-1), axis=0).reshape(nb, k, h)
         ldst = jnp.take(logit_dst, rows, axis=0)[:, None, :]  # [nb, 1, h]
         e = jax.nn.leaky_relu(lsrc + ldst, negative_slope)
         e = jnp.where(valid, e, -jnp.inf)
@@ -248,7 +265,7 @@ def gat_conv_ell(
     )
     denom = jnp.maximum(denom, 1e-16)  # [N, H]
 
-    # pass 3: alpha per slot, feature gather, weighted combine
+    # pass 3: alpha per slot, weighted combine over the pass-1 blocks
     out_parts = []
     for bi, (cols, ex, rows) in enumerate(zip(ell.cols, ex_blocks, vrows)):
         nb, k = cols.shape
@@ -256,7 +273,9 @@ def gat_conv_ell(
         if attn_dropout is not None:
             drop, slot = attn_dropout
             alpha = drop((slot, bi), alpha)
-        g = jnp.take(s2, cols.reshape(-1), axis=0).reshape(nb, k, h, f)
+        g = g_blocks[bi]
+        if g is None:
+            g = jnp.take(s2, cols.reshape(-1), axis=0).reshape(nb, k, h, f)
         out_parts.append((g * alpha[..., None]).reshape(nb, k, h * f).sum(axis=1))
     out = jax.ops.segment_sum(
         jnp.concatenate(out_parts, axis=0), r, num_segments=n
@@ -276,21 +295,21 @@ def gatv2_conv_ell(
     """Slot-native GATv2 convolution (see :func:`gat_conv_ell` for the
     layout rationale). The v2 logit ``a · leaky_relu(s_l[u] + s_r[v])``
     needs the full feature vector per slot, so pass 1 gathers the source
-    block ``[nb, k, H·F']`` — transient per bucket, reduced against ``a``
-    immediately; only ``[nb, k, H]`` logits survive across passes. Pass 3
-    re-gathers the same column blocks for aggregation (cheaper than holding
-    every bucket's feature block across the softmax)."""
+    block ``[nb, k, H·F']`` and (with ``REUSE_GATHER``) keeps it for the
+    pass-3 aggregation — the re-gather variant stays available for A/B via
+    the module flag."""
     ell = graph.ell
     n, h, f = s_l.shape
     sl2 = s_l.reshape(n, h * f)
     sr2 = s_r.reshape(n, h * f)
 
     # pass 1: per-slot v2 logits, per-vrow max partials
-    e_blocks, valid_blocks, max_parts, vrows = [], [], [], []
+    g_blocks, e_blocks, valid_blocks, max_parts, vrows = [], [], [], [], []
     for cols, eidx, rows in zip(ell.cols, em.eidx, ell.rows):
         nb, k = cols.shape
         valid = (eidx != em.sentinel)[..., None]  # [nb, k, 1]
         g = jnp.take(sl2, cols.reshape(-1), axis=0).reshape(nb, k, h, f)
+        g_blocks.append(g if REUSE_GATHER else None)
         d = jnp.take(sr2, rows, axis=0).reshape(nb, 1, h, f)
         e = jnp.einsum(
             "bkhf,hf->bkh", jax.nn.leaky_relu(g + d, negative_slope), a
@@ -317,7 +336,7 @@ def gatv2_conv_ell(
     )
     denom = jnp.maximum(denom, 1e-16)  # [N, H]
 
-    # pass 3: alpha per slot, feature re-gather, weighted combine
+    # pass 3: alpha per slot, weighted combine over the pass-1 blocks
     out_parts = []
     for bi, (cols, ex, rows) in enumerate(zip(ell.cols, ex_blocks, vrows)):
         nb, k = cols.shape
@@ -325,7 +344,9 @@ def gatv2_conv_ell(
         if attn_dropout is not None:
             drop, slot = attn_dropout
             alpha = drop((slot, bi), alpha)
-        g = jnp.take(sl2, cols.reshape(-1), axis=0).reshape(nb, k, h, f)
+        g = g_blocks[bi]
+        if g is None:
+            g = jnp.take(sl2, cols.reshape(-1), axis=0).reshape(nb, k, h, f)
         out_parts.append((g * alpha[..., None]).reshape(nb, k, h * f).sum(axis=1))
     out = jax.ops.segment_sum(
         jnp.concatenate(out_parts, axis=0), r, num_segments=n

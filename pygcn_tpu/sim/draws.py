@@ -45,9 +45,13 @@ _STIRLING_TAIL = np.array([
 
 def _stirling_tail(k):
     kp = k + 1.0
-    tail = (1.0 / 12 - (1.0 / 360 - 1.0 / 1260 / (kp * kp)) / (kp * kp)) / kp
-    small = jnp.take(_STIRLING_TAIL, jnp.clip(k.astype(jnp.int32), 0, 9))
-    return jnp.where(k < 10, small, tail)
+    out = (1.0 / 12 - (1.0 / 360 - 1.0 / 1260 / (kp * kp)) / (kp * kp)) / kp
+    # small-k table via a branchless select chain, NOT jnp.take: a 262K-row
+    # gather costs ~1 ms on TPU and this runs 4x per rejection round — the
+    # gathers were 85% of binomial_exact's runtime (PERF_NOTES r2)
+    for i in range(9, -1, -1):
+        out = jnp.where(k < i + 0.5, _STIRLING_TAIL[i], out)
+    return out
 
 
 def _first_accepted(ks, oks, fallback):
@@ -77,35 +81,42 @@ def poisson_exact(key, lam) -> jax.Array:
     small = count
 
     # --- branch B: PTRS transformed rejection (lam > _SPLIT) --------------
-    lam_l = jnp.maximum(lam, _SPLIT)
-    log_lam = jnp.log(lam_l)
-    b = 0.931 + 2.53 * jnp.sqrt(lam_l)
-    a = -0.059 + 0.02483 * b
-    inv_alpha = 1.1239 + 1.1328 / (b - 3.4)
-    v_r = 0.9277 - 3.6224 / (b - 2.0)
+    # gated behind lax.cond: the simulator's per-hour draws are usually all
+    # small-mean, and the rejection machinery is the expensive part
+    def _ptrs(keys):
+        k_rej, k_fb = keys
+        lam_l = jnp.maximum(lam, _SPLIT)
+        log_lam = jnp.log(lam_l)
+        b = 0.931 + 2.53 * jnp.sqrt(lam_l)
+        a = -0.059 + 0.02483 * b
+        inv_alpha = 1.1239 + 1.1328 / (b - 3.4)
+        v_r = 0.9277 - 3.6224 / (b - 2.0)
 
-    us_all = jax.random.uniform(k_rej, (2, _ROUNDS) + shape)
-    ks, oks = [], []
-    for r in range(_ROUNDS):
-        u_r = us_all[0, r] - 0.5
-        v_r_draw = us_all[1, r]
-        us = 0.5 - jnp.abs(u_r)
-        k = jnp.floor((2.0 * a / us + b) * u_r + lam_l + 0.43)
-        accept_fast = (us >= 0.07) & (v_r_draw <= v_r)
-        reject_early = (k < 0.0) | ((us < 0.013) & (v_r_draw > us))
-        log_acc = (
-            jnp.log(v_r_draw * inv_alpha / (a / (us * us) + b))
-            <= k * log_lam - lam_l - jax.lax.lgamma(k + 1.0)
-        )
-        ok = ~reject_early & (accept_fast | log_acc) & (k >= 0.0)
-        ks.append(k)
-        oks.append(ok)
+        us_all = jax.random.uniform(k_rej, (2, _ROUNDS) + shape)
+        ks, oks = [], []
+        for r in range(_ROUNDS):
+            u_r = us_all[0, r] - 0.5
+            v_r_draw = us_all[1, r]
+            us = 0.5 - jnp.abs(u_r)
+            k = jnp.floor((2.0 * a / us + b) * u_r + lam_l + 0.43)
+            accept_fast = (us >= 0.07) & (v_r_draw <= v_r)
+            reject_early = (k < 0.0) | ((us < 0.013) & (v_r_draw > us))
+            log_acc = (
+                jnp.log(v_r_draw * inv_alpha / (a / (us * us) + b))
+                <= k * log_lam - lam_l - jax.lax.lgamma(k + 1.0)
+            )
+            ok = ~reject_early & (accept_fast | log_acc) & (k >= 0.0)
+            ks.append(k)
+            oks.append(ok)
 
-    z = jax.random.normal(k_fb, shape)
-    uf = us_all[0, 0]  # reuse a uniform for the fallback's rounding
-    fallback = jnp.clip(jnp.floor(lam_l + jnp.sqrt(lam_l) * z + uf), 0.0, None)
-    large = _first_accepted(ks, oks, fallback)
+        z = jax.random.normal(k_fb, shape)
+        uf = us_all[0, 0]  # reuse a uniform for the fallback's rounding
+        fallback = jnp.clip(jnp.floor(lam_l + jnp.sqrt(lam_l) * z + uf), 0.0, None)
+        return _first_accepted(ks, oks, fallback)
 
+    large = jax.lax.cond(
+        jnp.any(lam > _SPLIT), _ptrs, lambda _: jnp.zeros_like(lam), (k_rej, k_fb)
+    )
     return jnp.where(lam <= _SPLIT, small, large).astype(jnp.float32)
 
 
@@ -142,47 +153,54 @@ def binomial_exact(key, n, p) -> jax.Array:
     small = jnp.minimum(count, n)
 
     # --- branch B: BTRS transformed rejection (mean > _SPLIT) -------------
-    # guard the constants against the small-mean lanes (selected away below)
-    nb = jnp.maximum(n, 1.0)
-    qb = jnp.clip(q, _SPLIT / jnp.maximum(nb, _SPLIT + 1.0), 0.5)
-    spq = jnp.sqrt(nb * qb * (1.0 - qb))
-    b = 1.15 + 2.53 * spq
-    a = -0.0873 + 0.0248 * b + 0.01 * qb
-    c = nb * qb + 0.5
-    v_thresh = 0.92 - 4.2 / b
-    r = qb / (1.0 - qb)
-    alpha = (2.83 + 5.1 / b) * spq
-    m = jnp.floor((nb + 1.0) * qb)
+    # gated behind lax.cond — most of the simulator's binomial draws are
+    # all-small-mean, and BTRS is the expensive part
+    def _btrs(keys):
+        k_rej, k_fb = keys
+        # guard the constants against the small-mean lanes (selected away)
+        nb = jnp.maximum(n, 1.0)
+        qb = jnp.clip(q, _SPLIT / jnp.maximum(nb, _SPLIT + 1.0), 0.5)
+        spq = jnp.sqrt(nb * qb * (1.0 - qb))
+        b = 1.15 + 2.53 * spq
+        a = -0.0873 + 0.0248 * b + 0.01 * qb
+        c = nb * qb + 0.5
+        v_thresh = 0.92 - 4.2 / b
+        r = qb / (1.0 - qb)
+        alpha = (2.83 + 5.1 / b) * spq
+        m = jnp.floor((nb + 1.0) * qb)
+        stirling_m = _stirling_tail(m) + _stirling_tail(nb - m)
 
-    us_all = jax.random.uniform(k_rej, (2, _ROUNDS) + shape)
-    ks, oks = [], []
-    for rd in range(_ROUNDS):
-        u_r = us_all[0, rd] - 0.5
-        v = us_all[1, rd]
-        us = 0.5 - jnp.abs(u_r)
-        k = jnp.floor((2.0 * a / us + b) * u_r + c)
-        in_range = (k >= 0.0) & (k <= nb)
-        accept_fast = (us >= 0.07) & (v <= v_thresh) & in_range
-        v2 = jnp.log(v * alpha / (a / (us * us) + b))
-        ub = (
-            (m + 0.5) * jnp.log((m + 1.0) / (r * (nb - m + 1.0)))
-            + (nb + 1.0) * jnp.log((nb - m + 1.0) / (nb - jnp.clip(k, 0.0, nb) + 1.0))
-            + (jnp.clip(k, 0.0, nb) + 0.5)
-            * jnp.log(r * (nb - jnp.clip(k, 0.0, nb) + 1.0) / (jnp.clip(k, 0.0, nb) + 1.0))
-            + _stirling_tail(m)
-            + _stirling_tail(nb - m)
-            - _stirling_tail(jnp.clip(k, 0.0, nb))
-            - _stirling_tail(nb - jnp.clip(k, 0.0, nb))
-        )
-        ok = accept_fast | (in_range & (v2 <= ub))
-        ks.append(k)
-        oks.append(ok)
+        us_all = jax.random.uniform(k_rej, (2, _ROUNDS) + shape)
+        ks, oks = [], []
+        for rd in range(_ROUNDS):
+            u_r = us_all[0, rd] - 0.5
+            v = us_all[1, rd]
+            us = 0.5 - jnp.abs(u_r)
+            k = jnp.floor((2.0 * a / us + b) * u_r + c)
+            in_range = (k >= 0.0) & (k <= nb)
+            accept_fast = (us >= 0.07) & (v <= v_thresh) & in_range
+            v2 = jnp.log(v * alpha / (a / (us * us) + b))
+            kc = jnp.clip(k, 0.0, nb)
+            ub = (
+                (m + 0.5) * jnp.log((m + 1.0) / (r * (nb - m + 1.0)))
+                + (nb + 1.0) * jnp.log((nb - m + 1.0) / (nb - kc + 1.0))
+                + (kc + 0.5) * jnp.log(r * (nb - kc + 1.0) / (kc + 1.0))
+                + stirling_m
+                - _stirling_tail(kc)
+                - _stirling_tail(nb - kc)
+            )
+            ok = accept_fast | (in_range & (v2 <= ub))
+            ks.append(k)
+            oks.append(ok)
 
-    z = jax.random.normal(k_fb, shape)
-    uf = us_all[0, 0]
-    fallback = jnp.clip(jnp.floor(nb * qb + spq * z + uf), 0.0, nb)
-    large = _first_accepted(ks, oks, fallback)
+        z = jax.random.normal(k_fb, shape)
+        uf = us_all[0, 0]
+        fallback = jnp.clip(jnp.floor(nb * qb + spq * z + uf), 0.0, nb)
+        return _first_accepted(ks, oks, fallback)
 
+    large = jax.lax.cond(
+        jnp.any(mean > _SPLIT), _btrs, lambda _: jnp.zeros_like(n), (k_rej, k_fb)
+    )
     out = jnp.where(mean <= _SPLIT, small, large)
     out = jnp.where(flip, n - out, out)
     return jnp.clip(out, 0.0, n).astype(jnp.float32)
