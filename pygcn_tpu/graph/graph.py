@@ -83,6 +83,8 @@ class Graph:
     n_nodes: int
     n_edges: int  # true edge count, before padding
     is_symmetric: bool
+    panel: Optional[object] = None  # diagonal-panel ELL (ops/panel.py)
+    panel_t: Optional[object] = None  # transpose panels for the backward SpMM
 
     # ------------------------------------------------------------------ #
     # Constructors (host-side preprocessing)
@@ -100,6 +102,8 @@ class Graph:
         build_bcsr: Optional[bool] = None,
         build_ell: Optional[bool] = None,
         build_hybrid: bool = False,
+        build_panel: bool = False,
+        panel_width: int = 65536,
         hybrid_min_edges_per_tile: int = 128,
         hybrid_tile_budget_bytes: Optional[int] = 512 * 1024**2,
         ell_ks: tuple[int, ...] = (4, 8, 16, 32, 64, 128, 256),
@@ -180,6 +184,19 @@ class Graph:
                 tile_budget_bytes=hybrid_tile_budget_bytes,
             )
 
+        # Diagonal-panel ELL: small gather tables for the near-diagonal
+        # edges of a locality-ordered graph (the multi-million-node regime
+        # where the full-table gather rate collapses — PERF_NOTES products
+        # proof); opt-in like hybrid.
+        panel = panel_t = None
+        if build_panel:
+            from pygcn_tpu.ops.panel import build_panel_ell as _mk_panel
+
+            panel = _mk_panel(coo, panel_width, ell_ks)
+            panel_t = panel if is_symmetric else _mk_panel(
+                coo.T.tocoo(), panel_width, ell_ks
+            )
+
         return Graph(
             senders=jnp.asarray(senders, jnp.int32),
             receivers=jnp.asarray(receivers, jnp.int32),
@@ -194,6 +211,8 @@ class Graph:
             n_nodes=int(n_nodes),
             n_edges=n_edges,
             is_symmetric=bool(is_symmetric),
+            panel=panel,
+            panel_t=panel_t,
         )
 
     @staticmethod
@@ -240,7 +259,7 @@ class Graph:
 
 jax.tree_util.register_dataclass(
     Graph,
-    data_fields=["senders", "receivers", "weights", "dense", "bcsr", "bcsr_t", "ell", "ell_t", "hybrid", "hybrid_t"],
+    data_fields=["senders", "receivers", "weights", "dense", "bcsr", "bcsr_t", "ell", "ell_t", "hybrid", "hybrid_t", "panel", "panel_t"],
     meta_fields=["n_nodes", "n_edges", "is_symmetric"],
 )
 

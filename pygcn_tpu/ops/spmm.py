@@ -54,6 +54,8 @@ def _resolve_impl(graph: Graph, impl: str) -> str:
         return "dense"
     if graph.hybrid is not None and graph.hybrid_t is not None:
         return "hybrid"
+    if graph.panel is not None and (graph.is_symmetric or graph.panel_t is not None):
+        return "panel"
     if graph.ell is not None and graph.ell_t is not None:
         return "ell"
     if graph.bcsr is not None and (graph.is_symmetric or graph.bcsr_t is not None):
@@ -100,6 +102,14 @@ def spmm(graph: Graph, x: jax.Array, impl: str = "auto") -> jax.Array:
         out = hybrid_spmm_pair(
             graph.hybrid, _transpose_layout(graph, graph.hybrid, graph.hybrid_t, "hybrid"), x
         )
+    elif impl == "panel":
+        if graph.panel is None:
+            raise ValueError("graph has no panel layout; build with build_panel=True")
+        from pygcn_tpu.ops.panel import panel_spmm_pair
+
+        out = panel_spmm_pair(
+            graph.panel, _transpose_layout(graph, graph.panel, graph.panel_t, "panel"), x
+        )
     elif impl == "bcsr":
         if graph.bcsr is None:
             raise ValueError("graph has no BCSR layout; build with build_bcsr=True")
@@ -140,6 +150,12 @@ def spmm_t(graph: Graph, x: jax.Array, impl: str = "auto") -> jax.Array:
 
         out = hybrid_spmm_pair(
             _transpose_layout(graph, graph.hybrid, graph.hybrid_t, "hybrid"), graph.hybrid, x
+        )
+    elif impl == "panel":
+        from pygcn_tpu.ops.panel import panel_spmm_pair
+
+        out = panel_spmm_pair(
+            _transpose_layout(graph, graph.panel, graph.panel_t, "panel"), graph.panel, x
         )
     elif impl == "bcsr":
         if graph.bcsr_t is None:
