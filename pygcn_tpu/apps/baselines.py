@@ -167,6 +167,21 @@ def run_summary_ols(args):
     for j in range(targets.shape[1]):
         fit = numpy_ols(x, targets[:, j].astype(np.float64))
         print_ols_summary(fit, names[j], feat_names[: x.shape[1]])
+
+    # Held-out comparison point for the GCN evaluator (the reference fits OLS
+    # on all data, regression.py:163-175; the extra train->test Spearman here
+    # makes the baseline comparable to train_evaluator's test metric).
+    from scipy import stats
+
+    tr = np.concatenate([res.idx_train, res.idx_val])
+    y = targets[:, args.target_code].astype(np.float64)
+    xd = np.concatenate([np.ones((x.shape[0], 1)), x], axis=1)
+    coef, *_ = np.linalg.lstsq(xd[tr], y[tr], rcond=None)
+    preds = xd[res.idx_test] @ coef
+    corr = float(stats.spearmanr(preds, y[res.idx_test]).statistic)
+    mse = float(np.mean((preds - y[res.idx_test]) ** 2))
+    print(f"ols holdout [{names[args.target_code]}]: test mse={mse:.4g} "
+          f"spearman={corr:.4f}")
     return fit
 
 
@@ -182,8 +197,13 @@ def run_summary_mlp(args):
         random_state=args.seed,
     ).fit(x[tr], y[tr])
     score = reg.score(x[te], y[te])
-    mse = float(np.mean((reg.predict(x[te]) - y[te]) ** 2))
-    print(f"sklearn MLP baseline: test r2={score:.4f} mse={mse:.4f}")
+    preds = reg.predict(x[te])
+    mse = float(np.mean((preds - y[te]) ** 2))
+    from scipy import stats
+
+    corr = float(stats.spearmanr(preds, y[te]).statistic)
+    print(f"sklearn MLP baseline: test r2={score:.4f} mse={mse:.4f} "
+          f"spearman={corr:.4f}")
     return score
 
 
