@@ -85,6 +85,8 @@ class Graph:
     is_symmetric: bool
     panel: Optional[object] = None  # diagonal-panel ELL (ops/panel.py)
     panel_t: Optional[object] = None  # transpose panels for the backward SpMM
+    colpanel: Optional[object] = None  # column-panel ELL (ops/colpanel.py)
+    colpanel_t: Optional[object] = None  # transpose column panels
 
     # ------------------------------------------------------------------ #
     # Constructors (host-side preprocessing)
@@ -103,6 +105,7 @@ class Graph:
         build_ell: Optional[bool] = None,
         build_hybrid: bool = False,
         build_panel: bool = False,
+        build_colpanel: bool = False,
         panel_width: int = 65536,
         hybrid_min_edges_per_tile: int = 128,
         hybrid_tile_budget_bytes: Optional[int] = 512 * 1024**2,
@@ -197,6 +200,19 @@ class Graph:
                 coo.T.tocoo(), panel_width, ell_ks
             )
 
+        # Column-panel ELL: every gather hits a small sender slice — the
+        # general form of the diagonal panel (off-diagonal edges get small
+        # tables too); opt-in, intended for locality-ordered multi-million-
+        # node graphs.
+        colpanel = colpanel_t = None
+        if build_colpanel:
+            from pygcn_tpu.ops.colpanel import build_col_panel_ell as _mk_cp
+
+            colpanel = _mk_cp(coo, panel_width, ell_ks)
+            colpanel_t = colpanel if is_symmetric else _mk_cp(
+                coo.T.tocsr(), panel_width, ell_ks
+            )
+
         return Graph(
             senders=jnp.asarray(senders, jnp.int32),
             receivers=jnp.asarray(receivers, jnp.int32),
@@ -213,6 +229,8 @@ class Graph:
             is_symmetric=bool(is_symmetric),
             panel=panel,
             panel_t=panel_t,
+            colpanel=colpanel,
+            colpanel_t=colpanel_t,
         )
 
     @staticmethod
@@ -240,6 +258,8 @@ class Graph:
             build_bcsr=self.bcsr is not None,
             build_ell=self.ell is not None,
             build_hybrid=self.hybrid is not None,
+            build_panel=self.panel is not None,
+            build_colpanel=self.colpanel is not None,
         )
 
     def to_scipy(self) -> sp.coo_matrix:
@@ -259,7 +279,7 @@ class Graph:
 
 jax.tree_util.register_dataclass(
     Graph,
-    data_fields=["senders", "receivers", "weights", "dense", "bcsr", "bcsr_t", "ell", "ell_t", "hybrid", "hybrid_t", "panel", "panel_t"],
+    data_fields=["senders", "receivers", "weights", "dense", "bcsr", "bcsr_t", "ell", "ell_t", "hybrid", "hybrid_t", "panel", "panel_t", "colpanel", "colpanel_t"],
     meta_fields=["n_nodes", "n_edges", "is_symmetric"],
 )
 

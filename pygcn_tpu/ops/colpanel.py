@@ -1,0 +1,133 @@
+"""Column-panel ELL — every gather reads a small sender slice.
+
+Measured on the v5e, XLA's gather row rate is TABLE-SIZE-bound (~482M rows/s
+at <=16K-row tables, ~320M at 169K, ~58M at 2.45M — PERF_NOTES.md), which
+caps large-graph SpMM far below the per-row latency floor. The diagonal
+:mod:`pygcn_tpu.ops.panel` layout fixes this for near-diagonal edges only;
+its off-diagonal residual still gathers from the full table. This layout
+panels by SENDER RANGE alone: edges are grouped by ``col // panel_width``
+into per-panel bucketed ELLs whose column ids are panel-local, so **every**
+edge's gather hits an ``x[s:s+w]`` slice, and the per-virtual-row partials
+from all panels combine in one global ``segment_sum``.
+
+Cost model vs plain ELL: gathers run at the small-table rate for all E
+edges; the price is more virtual rows (each row pays one partial per panel
+it touches). On a locality-ordered graph most rows touch 1-3 panels, so the
+extra segment traffic is a few x[N, H]-sized streams — cheap next to the
+gather wall. On an UNORDERED graph with hub rows touching every panel the
+virtual-row count can approach E and the layout degrades; order first
+(``parallel/partition.locality_order``).
+
+The reference's analogous op is the single ``torch.spmm`` call
+(reference ``pygcn/layers.py:34``); this layout is a TPU-specific
+re-design of its sparsity handling, not a port.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+
+from pygcn_tpu.ops.ell import ELL, H_CHUNK, _bucket_partial, build_ell
+
+
+@dataclasses.dataclass(frozen=True)
+class ColPanelELL:
+    panels: Tuple[ELL, ...]  # panel-local column ids, GLOBAL row ids
+    starts: Tuple[int, ...]
+    widths: Tuple[int, ...]
+    n_rows: int
+    n_vrows: int  # total virtual rows across panels (diagnostics)
+
+
+jax.tree_util.register_dataclass(
+    ColPanelELL,
+    data_fields=["panels"],
+    meta_fields=["starts", "widths", "n_rows", "n_vrows"],
+)
+
+
+def build_col_panel_ell(
+    mat: sp.spmatrix,
+    panel_width: int = 65536,
+    ks: Tuple[int, ...] = (4, 8, 16, 32, 64, 128, 256),
+) -> ColPanelELL:
+    csc = mat.tocsc()
+    n_rows, n_cols = csc.shape
+    n_panels = max(1, -(-n_cols // panel_width))
+    panels, starts, widths = [], [], []
+    n_vrows = 0
+    for p in range(n_panels):
+        s = p * panel_width
+        w = min(panel_width, n_cols - s)
+        sub = csc[:, s : s + w].tocsr()
+        # build_ell gives every row at least one (zero-valued) slot; rows with
+        # no edge in this panel must be compacted away first or the virtual-row
+        # count becomes n_rows * n_panels.
+        nz = np.flatnonzero(np.diff(sub.indptr))
+        if nz.size == 0:
+            continue
+        ell = build_ell(sub[nz], ks)
+        rmap = nz.astype(np.int32)
+        ell = ELL(
+            cols=ell.cols,
+            vals=ell.vals,
+            rows=tuple(jnp.asarray(rmap[np.asarray(r)]) for r in ell.rows),
+            ks=ell.ks,
+            n_rows=n_rows,
+        )
+        n_vrows += sum(r.shape[0] for r in ell.rows)
+        panels.append(ell)
+        starts.append(s)
+        widths.append(w)
+    return ColPanelELL(
+        panels=tuple(panels), starts=tuple(starts), widths=tuple(widths),
+        n_rows=n_rows, n_vrows=n_vrows,
+    )
+
+
+def col_panel_spmm_raw(pe: ColPanelELL, x: jax.Array) -> jax.Array:
+    """``A @ x`` — per-panel small-table gathers, one global combine."""
+    if x.shape[1] > H_CHUNK:
+        return jnp.concatenate(
+            [col_panel_spmm_raw(pe, x[:, i : i + H_CHUNK])
+             for i in range(0, x.shape[1], H_CHUNK)],
+            axis=1,
+        )
+    partials, vrows = [], []
+    for ell_p, s, w in zip(pe.panels, pe.starts, pe.widths):
+        # static slice: the panel's entire gather table
+        xs = jax.lax.slice_in_dim(x, s, s + w)
+        for cols, vals, rows in zip(ell_p.cols, ell_p.vals, ell_p.rows):
+            partials.append(_bucket_partial(xs, cols, vals))
+            vrows.append(rows)
+    p = jnp.concatenate(partials, axis=0)
+    r = jnp.concatenate(vrows, axis=0)
+    return jax.ops.segment_sum(p, r, num_segments=pe.n_rows)
+
+
+@jax.custom_vjp
+def col_panel_spmm_pair(pe: ColPanelELL, pe_t: ColPanelELL, x: jax.Array) -> jax.Array:
+    """``A @ x`` with backward ``A^T @ g`` on the transpose layout (the
+    transpose of a column-panel layout is the column-panel layout of
+    ``A^T``; symmetric graphs pass the forward layout twice)."""
+    return col_panel_spmm_raw(pe, x)
+
+
+def _fwd(pe, pe_t, x):
+    return col_panel_spmm_raw(pe, x), (pe, pe_t)
+
+
+def _bwd(res, g):
+    pe, pe_t = res
+    dx = col_panel_spmm_raw(pe_t, g)
+    zeros = lambda e: jax.tree.map(jnp.zeros_like, e)
+    return zeros(pe), zeros(pe_t), dx
+
+
+col_panel_spmm_pair.defvjp(_fwd, _bwd)

@@ -54,6 +54,8 @@ def _resolve_impl(graph: Graph, impl: str) -> str:
         return "dense"
     if graph.hybrid is not None and graph.hybrid_t is not None:
         return "hybrid"
+    if graph.colpanel is not None and (graph.is_symmetric or graph.colpanel_t is not None):
+        return "colpanel"
     if graph.panel is not None and (graph.is_symmetric or graph.panel_t is not None):
         return "panel"
     if graph.ell is not None and graph.ell_t is not None:
@@ -110,6 +112,16 @@ def spmm(graph: Graph, x: jax.Array, impl: str = "auto") -> jax.Array:
         out = panel_spmm_pair(
             graph.panel, _transpose_layout(graph, graph.panel, graph.panel_t, "panel"), x
         )
+    elif impl == "colpanel":
+        if graph.colpanel is None:
+            raise ValueError("graph has no colpanel layout; build with build_colpanel=True")
+        from pygcn_tpu.ops.colpanel import col_panel_spmm_pair
+
+        out = col_panel_spmm_pair(
+            graph.colpanel,
+            _transpose_layout(graph, graph.colpanel, graph.colpanel_t, "colpanel"),
+            x,
+        )
     elif impl == "bcsr":
         if graph.bcsr is None:
             raise ValueError("graph has no BCSR layout; build with build_bcsr=True")
@@ -156,6 +168,14 @@ def spmm_t(graph: Graph, x: jax.Array, impl: str = "auto") -> jax.Array:
 
         out = panel_spmm_pair(
             _transpose_layout(graph, graph.panel, graph.panel_t, "panel"), graph.panel, x
+        )
+    elif impl == "colpanel":
+        from pygcn_tpu.ops.colpanel import col_panel_spmm_pair
+
+        out = col_panel_spmm_pair(
+            _transpose_layout(graph, graph.colpanel, graph.colpanel_t, "colpanel"),
+            graph.colpanel,
+            x,
         )
     elif impl == "bcsr":
         if graph.bcsr_t is None:

@@ -19,17 +19,17 @@ def random_graph(n=260, e=2500, seed=0, **kwargs):
     return Graph.from_scipy(m.tocoo(), **kwargs), m.toarray()
 
 
-@pytest.mark.parametrize("impl", ["segment", "dense", "bcsr", "ell", "hybrid", "panel"])
+@pytest.mark.parametrize("impl", ["segment", "dense", "bcsr", "ell", "hybrid", "panel", "colpanel"])
 def test_spmm_matches_dense(impl):
-    g, a = random_graph(build_dense=True, build_bcsr=True, build_ell=True, build_hybrid=True, hybrid_min_edges_per_tile=32, build_panel=True, panel_width=64)
+    g, a = random_graph(build_dense=True, build_bcsr=True, build_ell=True, build_hybrid=True, hybrid_min_edges_per_tile=32, build_panel=True, build_colpanel=True, panel_width=64)
     x = jax.random.normal(jax.random.key(0), (g.n_nodes, 64))
     out = spmm(g, x, impl=impl)
     np.testing.assert_allclose(np.asarray(out), a @ np.asarray(x), rtol=2e-4, atol=2e-4)
 
 
-@pytest.mark.parametrize("impl", ["segment", "dense", "bcsr", "ell", "hybrid", "panel"])
+@pytest.mark.parametrize("impl", ["segment", "dense", "bcsr", "ell", "hybrid", "panel", "colpanel"])
 def test_spmm_t_matches_dense(impl):
-    g, a = random_graph(build_dense=True, build_bcsr=True, build_ell=True, build_hybrid=True, hybrid_min_edges_per_tile=32, build_panel=True, panel_width=64)
+    g, a = random_graph(build_dense=True, build_bcsr=True, build_ell=True, build_hybrid=True, hybrid_min_edges_per_tile=32, build_panel=True, build_colpanel=True, panel_width=64)
     x = jax.random.normal(jax.random.key(1), (g.n_nodes, 32))
     out = spmm_t(g, x, impl=impl)
     np.testing.assert_allclose(np.asarray(out), a.T @ np.asarray(x), rtol=2e-4, atol=2e-4)
@@ -53,10 +53,10 @@ def test_spmm_nonsquare_feature_dims():
         )
 
 
-@pytest.mark.parametrize("impl", ["segment", "dense", "bcsr", "ell", "hybrid", "panel"])
+@pytest.mark.parametrize("impl", ["segment", "dense", "bcsr", "ell", "hybrid", "panel", "colpanel"])
 def test_spmm_grad_is_transpose(impl):
     """VJP of spmm w.r.t. x must be A^T @ g."""
-    g, a = random_graph(build_dense=True, build_bcsr=True, build_ell=True, build_hybrid=True, hybrid_min_edges_per_tile=32, build_panel=True, panel_width=64)
+    g, a = random_graph(build_dense=True, build_bcsr=True, build_ell=True, build_hybrid=True, hybrid_min_edges_per_tile=32, build_panel=True, build_colpanel=True, panel_width=64)
     x = jax.random.normal(jax.random.key(3), (g.n_nodes, 16))
     ct = jax.random.normal(jax.random.key(4), (g.n_nodes, 16))
 
@@ -242,10 +242,10 @@ def test_hybrid_all_sparse_fallback():
     )
 
 
-@pytest.mark.parametrize("impl", ["segment", "dense", "bcsr", "ell", "hybrid", "panel"])
+@pytest.mark.parametrize("impl", ["segment", "dense", "bcsr", "ell", "hybrid", "panel", "colpanel"])
 def test_spmm_batched_3d(impl):
     """[B, N, H] inputs fold into one wide [N, B*H] product per layout."""
-    g, a = random_graph(build_dense=True, build_bcsr=True, build_ell=True, build_hybrid=True, hybrid_min_edges_per_tile=32, build_panel=True, panel_width=64)
+    g, a = random_graph(build_dense=True, build_bcsr=True, build_ell=True, build_hybrid=True, hybrid_min_edges_per_tile=32, build_panel=True, build_colpanel=True, panel_width=64)
     x = jax.random.normal(jax.random.key(4), (5, g.n_nodes, 24))
     out = spmm(g, x, impl=impl)
     assert out.shape == x.shape
@@ -356,3 +356,54 @@ def test_panel_ell_routes_diagonal_edges():
     (dx,) = vjp(ct)
     np.testing.assert_allclose(np.asarray(dx), a.toarray().T @ np.asarray(ct),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_col_panel_ell_small_tables_cover_all_edges():
+    """Column-panel ELL: EVERY edge gathers from a panel-local slice (the
+    diagonal-panel layout's residual pays the full-table rate; this one has
+    no residual). Checks panel compaction (empty rows produce no virtual
+    rows), auto dispatch, value parity, and the transpose gradient."""
+    from pygcn_tpu.graph.datasets import community_graph
+    from pygcn_tpu.ops.colpanel import build_col_panel_ell, col_panel_spmm_raw
+
+    m = community_graph(512, 8.0, community_size=128, p_in=0.8, seed=5,
+                        shuffle=False)
+    pe = build_col_panel_ell(m, panel_width=128)
+    assert len(pe.panels) == 4
+    # locality: most rows touch few panels, so vrows stay near one per row
+    touched = sum(int(np.count_nonzero(np.diff(
+        m.tocsc()[:, s:s + 128].tocsr().indptr))) for s in range(0, 512, 128))
+    assert pe.n_vrows <= touched + 4 * len(pe.panels[0].ks)
+    x = jax.random.normal(jax.random.key(0), (512, 24))
+    np.testing.assert_allclose(
+        np.asarray(col_panel_spmm_raw(pe, x)), m.toarray() @ np.asarray(x),
+        rtol=2e-4, atol=2e-4,
+    )
+
+    a = sym_normalize(symmetrize_max(m))
+    g = Graph.from_scipy(a, is_symmetric=True, build_dense=False,
+                         build_bcsr=False, build_colpanel=True, panel_width=128)
+    from pygcn_tpu.ops.spmm import _resolve_impl
+
+    assert _resolve_impl(g, "auto") == "colpanel"
+    out = spmm(g, x)
+    np.testing.assert_allclose(np.asarray(out), a.toarray() @ np.asarray(x),
+                               rtol=2e-4, atol=2e-4)
+    ct = jax.random.normal(jax.random.key(1), (512, 24))
+    _, vjp = jax.vjp(lambda v: spmm(g, v), x)
+    (dx,) = vjp(ct)
+    np.testing.assert_allclose(np.asarray(dx), a.toarray().T @ np.asarray(ct),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_col_panel_asymmetric_transpose_guard():
+    """Hand-built asymmetric graph without colpanel_t must raise, not
+    silently run the forward layout backward (same guard as ELL/hybrid)."""
+    import dataclasses as _dc
+
+    g, _ = random_graph(build_dense=False, build_bcsr=False, build_ell=True,
+                        build_colpanel=True, panel_width=64)
+    bad = _dc.replace(g, colpanel_t=None)
+    x = jax.random.normal(jax.random.key(0), (g.n_nodes, 8))
+    with pytest.raises(ValueError, match="colpanel"):
+        spmm(bad, x, impl="colpanel")
