@@ -109,6 +109,7 @@ class Graph:
         panel_width: int = 65536,
         hybrid_min_edges_per_tile: int = 128,
         hybrid_tile_budget_bytes: Optional[int] = 512 * 1024**2,
+        hybrid_residual: str = "ell",
         ell_ks: tuple[int, ...] = (4, 8, 16, 32, 64, 128, 256),
         tile: tuple[int, int] = (128, 128),
         bcsr_budget_bytes: int = 2 * 1024**3,
@@ -181,10 +182,12 @@ class Graph:
             hybrid = _mk_hybrid(
                 coo, tile, hybrid_min_edges_per_tile, ell_ks,
                 tile_budget_bytes=hybrid_tile_budget_bytes,
+                residual=hybrid_residual, panel_width=panel_width,
             )
             hybrid_t = hybrid if is_symmetric else _mk_hybrid(
                 coo.T.tocoo(), tile, hybrid_min_edges_per_tile, ell_ks,
                 tile_budget_bytes=hybrid_tile_budget_bytes,
+                residual=hybrid_residual, panel_width=panel_width,
             )
 
         # Diagonal-panel ELL: small gather tables for the near-diagonal

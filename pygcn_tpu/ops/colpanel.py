@@ -99,6 +99,8 @@ def col_panel_spmm_raw(pe: ColPanelELL, x: jax.Array) -> jax.Array:
              for i in range(0, x.shape[1], H_CHUNK)],
             axis=1,
         )
+    if not pe.panels:  # every panel was empty (e.g. an all-tile hybrid residual)
+        return jnp.zeros((pe.n_rows, x.shape[1]), x.dtype)
     partials, vrows = [], []
     for ell_p, s, w in zip(pe.panels, pe.starts, pe.widths):
         # static slice: the panel's entire gather table

@@ -45,6 +45,8 @@ def build_hybrid(
     min_edges_per_tile: int = 128,
     ks: Tuple[int, ...] = (4, 8, 16, 32, 64, 128, 256),
     tile_budget_bytes: Optional[int] = None,
+    residual: str = "ell",
+    panel_width: int = 65536,
 ) -> HybridLayout:
     """Route tiles with ≥ ``min_edges_per_tile`` edges to BCSR, rest to ELL.
 
@@ -52,6 +54,12 @@ def build_hybrid(
     ``tm*tk`` f32 values): when qualifying tiles exceed the budget, the
     densest tiles are kept (best edges-per-byte first) and the rest spill
     to the ELL side.
+
+    ``residual="colpanel"`` stores the non-tile edges as a column-panel ELL
+    (``ops/colpanel.py``) so their gathers hit ``panel_width``-sized feature
+    slices instead of the full table — the gather rate is table-size-bound
+    on TPU (PERF_NOTES.md), so on locality-ordered multi-hundred-K-node
+    graphs this is the faster residual.
     """
     coo = mat.tocoo()
     n = coo.shape[0]
@@ -87,13 +95,26 @@ def build_hybrid(
     rest = sp.csr_matrix(
         (coo.data[rest_mask], (coo.row[rest_mask], coo.col[rest_mask])), shape=coo.shape
     )
+    if residual == "colpanel":
+        from pygcn_tpu.ops.colpanel import build_col_panel_ell
+
+        rest_layout = build_col_panel_ell(rest, panel_width, ks)
+    elif residual == "ell":
+        rest_layout = build_ell(rest, ks)
+    else:
+        raise ValueError(f"unknown residual layout {residual!r}")
     return HybridLayout(
-        bcsr=bcsr, ell=build_ell(rest, ks), n_rows=n, tile_edges=tile_edges
+        bcsr=bcsr, ell=rest_layout, n_rows=n, tile_edges=tile_edges
     )
 
 
 def hybrid_spmm_raw(h: HybridLayout, x: jax.Array) -> jax.Array:
-    out = ell_spmm_raw(h.ell, x)
+    if isinstance(h.ell, ELL):
+        out = ell_spmm_raw(h.ell, x)
+    else:  # ColPanelELL residual
+        from pygcn_tpu.ops.colpanel import col_panel_spmm_raw
+
+        out = col_panel_spmm_raw(h.ell, x)
     if h.bcsr is not None:
         from pygcn_tpu.ops.pallas.bcsr_spmm import bcsr_spmm
 

@@ -407,3 +407,29 @@ def test_col_panel_asymmetric_transpose_guard():
     x = jax.random.normal(jax.random.key(0), (g.n_nodes, 8))
     with pytest.raises(ValueError, match="colpanel"):
         spmm(bad, x, impl="colpanel")
+
+
+def test_hybrid_colpanel_residual_matches_dense():
+    """Hybrid with a column-panel residual: tiles on the MXU path, non-tile
+    edges gathered from panel-local slices; forward + gradient parity."""
+    from pygcn_tpu.graph.datasets import community_graph
+    from pygcn_tpu.ops.colpanel import ColPanelELL
+
+    m = community_graph(512, 8.0, community_size=128, p_in=0.8, seed=7,
+                        shuffle=False)
+    a = sym_normalize(symmetrize_max(m))
+    g = Graph.from_scipy(a, is_symmetric=True, build_dense=False,
+                         build_bcsr=False, build_hybrid=True,
+                         hybrid_min_edges_per_tile=32,
+                         hybrid_residual="colpanel", panel_width=128)
+    assert isinstance(g.hybrid.ell, ColPanelELL)
+    assert g.hybrid.bcsr is not None
+    x = jax.random.normal(jax.random.key(0), (512, 24))
+    out = spmm(g, x, impl="hybrid")
+    np.testing.assert_allclose(np.asarray(out), a.toarray() @ np.asarray(x),
+                               rtol=2e-4, atol=2e-4)
+    ct = jax.random.normal(jax.random.key(1), (512, 24))
+    _, vjp = jax.vjp(lambda v: spmm(g, v, impl="hybrid"), x)
+    (dx,) = vjp(ct)
+    np.testing.assert_allclose(np.asarray(dx), a.toarray().T @ np.asarray(ct),
+                               rtol=2e-4, atol=2e-4)
