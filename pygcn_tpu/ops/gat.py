@@ -204,6 +204,7 @@ def gat_conv_ell(
     a_dst: jax.Array,  # [H, F']
     negative_slope: float = 0.2,
     attn_dropout=None,  # optional (drop_fn(key_slot, arr), key_slot) pair
+    stabilizer: str = "segmax",
 ) -> jax.Array:
     """Slot-native GAT convolution: logits → softmax → aggregation entirely
     in ELL bucket blocks — **no per-edge tensor is ever materialized in COO
@@ -220,7 +221,14 @@ def gat_conv_ell(
     Measured motivation: each [E, H] gather/segment op costs 15-37 ms at
     arxiv scale while the whole ELL SpMM is 9.4 ms — the COO-order GAT
     formulation pays that per-edge toll ~6 times per layer.
+
+    ``stabilizer="bound"`` dispatches to the fused one-pass variant
+    (:func:`gat_conv_ell_onepass`).
     """
+    if stabilizer == "bound":
+        return gat_conv_ell_onepass(
+            graph, em, s, a_src, a_dst, negative_slope, attn_dropout
+        )
     ell = graph.ell
     n, h, f = s.shape
     logit_src = None if REUSE_GATHER else jnp.einsum("nhf,hf->nh", s, a_src)
@@ -281,6 +289,72 @@ def gat_conv_ell(
         jnp.concatenate(out_parts, axis=0), r, num_segments=n
     )
     return out.reshape(n, h, f)
+
+
+def gat_conv_ell_onepass(
+    graph: Graph,
+    em: EdgeMap,
+    s: jax.Array,  # [N, H, F'] per-head transformed features
+    a_src: jax.Array,  # [H, F']
+    a_dst: jax.Array,  # [H, F']
+    negative_slope: float = 0.2,
+    attn_dropout=None,
+) -> jax.Array:
+    """One-pass GAT convolution with a node-level softmax stabilizer.
+
+    GATv1's logit is monotone in the sender term —
+    ``e_uv = leaky_relu(lsrc_u + ldst_v)`` — so
+    ``max_u e_uv <= leaky_relu(max_n lsrc_n + ldst_v)``: a per-RECEIVER upper
+    bound computable from node tensors alone, no per-edge max pass and no
+    ``segment_max``. That collapses the three bucket sweeps of
+    :func:`gat_conv_ell` into ONE (logits, exp, and weighted aggregation in
+    the same loop), halves the slot gathers the backward must revisit, and
+    moves the alpha division from per-slot ``[nb, k, h]`` tensors to the
+    ``[N, h, f]`` output.
+
+    Numerics: ``exp(e - bound) <= 1`` always; a receiver whose incoming
+    logits all sit far below the bound loses precision, so the exponent is
+    clamped at ``-60`` — slots at the clamp have true alpha < 1e-14 (≈ 0)
+    unless EVERY slot of that receiver is clamped, in which case attention
+    degrades gracefully toward uniform instead of producing 0/0. Attention
+    dropout multiplies the unnormalized numerator only (the denominator uses
+    undropped weights) — algebraically identical to dropping alpha.
+    """
+    ell = graph.ell
+    n, h, f = s.shape
+    logit_src = jnp.einsum("nhf,hf->nh", s, a_src)
+    logit_dst = jnp.einsum("nhf,hf->nh", s, a_dst)
+    s2 = s.reshape(n, h * f)
+    gmax = jax.lax.stop_gradient(logit_src.max(axis=0))  # [h]
+    m = jax.lax.stop_gradient(
+        jax.nn.leaky_relu(gmax[None, :] + logit_dst, negative_slope)
+    )  # [N, h] per-receiver bound
+
+    num_parts, den_parts, vrows = [], [], []
+    for bi, (cols, eidx, rows) in enumerate(zip(ell.cols, em.eidx, ell.rows)):
+        nb, k = cols.shape
+        valid = (eidx != em.sentinel)[..., None]  # [nb, k, 1]
+        lsrc = jnp.take(logit_src, cols.reshape(-1), axis=0).reshape(nb, k, h)
+        ldst = jnp.take(logit_dst, rows, axis=0)[:, None, :]
+        e = jax.nn.leaky_relu(lsrc + ldst, negative_slope)
+        ex = jnp.exp(
+            jnp.maximum(e - jnp.take(m, rows, axis=0)[:, None, :], -60.0)
+        ) * valid
+        den_parts.append(ex.sum(axis=1))
+        if attn_dropout is not None:
+            drop, slot = attn_dropout
+            ex = drop((slot, bi), ex)
+        g = jnp.take(s2, cols.reshape(-1), axis=0).reshape(nb, k, h, f)
+        num_parts.append((g * ex[..., None]).reshape(nb, k, h * f).sum(axis=1))
+        vrows.append(rows)
+    r = jnp.concatenate(vrows, axis=0)
+    num = jax.ops.segment_sum(
+        jnp.concatenate(num_parts, axis=0), r, num_segments=n
+    ).reshape(n, h, f)
+    den = jax.ops.segment_sum(
+        jnp.concatenate(den_parts, axis=0), r, num_segments=n
+    )
+    return num / jnp.maximum(den, 1e-16)[..., None]
 
 
 def gatv2_conv_ell(

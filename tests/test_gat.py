@@ -340,3 +340,43 @@ def test_gatv2_learns_sbm():
     preds = np.asarray(model.apply(params, x, data.graph)).argmax(1)
     acc = (preds[data.idx_test] == np.asarray(data.labels)[data.idx_test]).mean()
     assert acc > 0.75, acc
+
+
+def test_onepass_bound_gat_matches_segmax_path():
+    """gat_conv_ell(stabilizer='bound') — the fused one-pass variant with the
+    node-level softmax bound — matches the three-pass segment_max path in
+    values and gradients, including the attention-dropout formulation
+    (numerator-only drop == dropping normalized alpha)."""
+    from pygcn_tpu.ops.gat import build_edge_map, gat_conv_ell
+
+    g, _ = _ell_graph()
+    em = build_edge_map(g)
+    rng = np.random.default_rng(11)
+    s = jnp.asarray(rng.normal(size=(60, 3, 4)).astype(np.float32))
+    a_src = jnp.asarray(rng.normal(size=(3, 4)).astype(np.float32))
+    a_dst = jnp.asarray(rng.normal(size=(3, 4)).astype(np.float32))
+
+    out_ref = gat_conv_ell(g, em, s, a_src, a_dst)
+    out_one = gat_conv_ell(g, em, s, a_src, a_dst, stabilizer="bound")
+    np.testing.assert_allclose(np.asarray(out_one), np.asarray(out_ref),
+                               rtol=1e-4, atol=1e-5)
+
+    def loss(v, stab):
+        return (gat_conv_ell(g, em, v, a_src, a_dst, stabilizer=stab) ** 2).sum()
+
+    g_ref = jax.grad(loss)(s, "segmax")
+    g_one = jax.grad(loss)(s, "bound")
+    np.testing.assert_allclose(np.asarray(g_one), np.asarray(g_ref),
+                               rtol=2e-3, atol=1e-5)
+
+    # deterministic dropout: same mask per (slot, bucket) in both paths
+    def drop(key_slot, arr):
+        k = jax.random.fold_in(jax.random.key(7), hash(key_slot) % (2**31))
+        keep = jax.random.bernoulli(k, 0.6, arr.shape).astype(arr.dtype)
+        return arr * keep / 0.6
+
+    out_ref_d = gat_conv_ell(g, em, s, a_src, a_dst, attn_dropout=(drop, 0))
+    out_one_d = gat_conv_ell(g, em, s, a_src, a_dst, attn_dropout=(drop, 0),
+                             stabilizer="bound")
+    np.testing.assert_allclose(np.asarray(out_one_d), np.asarray(out_ref_d),
+                               rtol=1e-4, atol=1e-5)
