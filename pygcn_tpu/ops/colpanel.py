@@ -6,16 +6,24 @@ caps large-graph SpMM far below the per-row latency floor. The diagonal
 :mod:`pygcn_tpu.ops.panel` layout fixes this for near-diagonal edges only;
 its off-diagonal residual still gathers from the full table. This layout
 panels by SENDER RANGE alone: edges are grouped by ``col // panel_width``
-into per-panel bucketed ELLs whose column ids are panel-local, so **every**
+into per-panel buckets whose column ids are panel-local, so **every**
 edge's gather hits an ``x[s:s+w]`` slice, and the per-virtual-row partials
 from all panels combine in one global ``segment_sum``.
 
+Storage is deliberately FLAT: per-panel degrees are small (a row's edges
+split across the panels it touches), so almost every slot lands in the
+k=4/8 buckets — and a 2-D ``[nb, 4]`` int32 array on TPU pads to the
+``(8, 128)`` tile, a 32x memory blowup that OOMs at ogbn-products scale
+(measured: 25.2 GiB of HLO copies for a 63M-edge graph). Storing
+``cols``/``vals`` as 1-D ``[nb*k]`` arrays keeps them tile-free; only the
+gathered ``[nb*k, H]`` activations (lane-aligned) are ever 2-D.
+
 Cost model vs plain ELL: gathers run at the small-table rate for all E
 edges; the price is more virtual rows (each row pays one partial per panel
-it touches). On a locality-ordered graph most rows touch 1-3 panels, so the
-extra segment traffic is a few x[N, H]-sized streams — cheap next to the
-gather wall. On an UNORDERED graph with hub rows touching every panel the
-virtual-row count can approach E and the layout degrades; order first
+it touches). On a locality-ordered graph most rows touch few panels, so
+the extra segment traffic is a few x[N, H]-sized streams — cheap next to
+the gather wall. On an UNORDERED graph with hub rows touching every panel
+the virtual-row count can approach E and the layout degrades; order first
 (``parallel/partition.locality_order``).
 
 The reference's analogous op is the single ``torch.spmm`` call
@@ -33,12 +41,27 @@ import jax.numpy as jnp
 import numpy as np
 import scipy.sparse as sp
 
-from pygcn_tpu.ops.ell import ELL, H_CHUNK, _bucket_partial, build_ell
+from pygcn_tpu.ops.ell import ELL_CHUNK_BUDGET_ELEMS, H_CHUNK, build_ell
+
+
+@dataclasses.dataclass(frozen=True)
+class FlatBuckets:
+    """One panel's buckets with FLAT ``[nb*k]`` cols/vals (see module doc)."""
+
+    cols: Tuple[jax.Array, ...]  # 1-D [nb*k], panel-local column ids
+    vals: Tuple[jax.Array, ...]  # 1-D [nb*k]
+    rows: Tuple[jax.Array, ...]  # [nb], GLOBAL row ids
+    ks: Tuple[int, ...]
+
+
+jax.tree_util.register_dataclass(
+    FlatBuckets, data_fields=["cols", "vals", "rows"], meta_fields=["ks"]
+)
 
 
 @dataclasses.dataclass(frozen=True)
 class ColPanelELL:
-    panels: Tuple[ELL, ...]  # panel-local column ids, GLOBAL row ids
+    panels: Tuple[FlatBuckets, ...]
     starts: Tuple[int, ...]
     widths: Tuple[int, ...]
     n_rows: int
@@ -74,21 +97,43 @@ def build_col_panel_ell(
             continue
         ell = build_ell(sub[nz], ks)
         rmap = nz.astype(np.int32)
-        ell = ELL(
-            cols=ell.cols,
-            vals=ell.vals,
-            rows=tuple(jnp.asarray(rmap[np.asarray(r)]) for r in ell.rows),
-            ks=ell.ks,
-            n_rows=n_rows,
+        panels.append(
+            FlatBuckets(
+                cols=tuple(jnp.asarray(np.asarray(c).reshape(-1)) for c in ell.cols),
+                vals=tuple(jnp.asarray(np.asarray(v).reshape(-1)) for v in ell.vals),
+                rows=tuple(jnp.asarray(rmap[np.asarray(r)]) for r in ell.rows),
+                ks=ell.ks,
+            )
         )
         n_vrows += sum(r.shape[0] for r in ell.rows)
-        panels.append(ell)
         starts.append(s)
         widths.append(w)
     return ColPanelELL(
         panels=tuple(panels), starts=tuple(starts), widths=tuple(widths),
         n_rows=n_rows, n_vrows=n_vrows,
     )
+
+
+def _flat_bucket_partial(x, cols, vals, k: int) -> jax.Array:
+    """Per-virtual-row partials ``[nb, H]`` from flat ``[nb*k]`` cols/vals."""
+    h = x.shape[1]
+    nb = cols.shape[0] // k
+    if cols.shape[0] * h <= ELL_CHUNK_BUDGET_ELEMS:
+        g = jnp.take(x, cols, axis=0) * vals[:, None]  # [nb*k, H]
+        return g.reshape(nb, k, h).sum(axis=1)
+    rows_per_chunk = max(1, ELL_CHUNK_BUDGET_ELEMS // (k * h))
+    n_chunks = -(-nb // rows_per_chunk)
+    pad = n_chunks * rows_per_chunk - nb
+    cols_p = jnp.pad(cols, (0, pad * k)).reshape(n_chunks, rows_per_chunk * k)
+    vals_p = jnp.pad(vals, (0, pad * k)).reshape(n_chunks, rows_per_chunk * k)
+
+    def body(cv):
+        c, v = cv
+        g = jnp.take(x, c, axis=0) * v[:, None]
+        return g.reshape(rows_per_chunk, k, h).sum(axis=1)
+
+    out = jax.lax.map(body, (cols_p, vals_p))
+    return out.reshape(n_chunks * rows_per_chunk, h)[:nb]
 
 
 def col_panel_spmm_raw(pe: ColPanelELL, x: jax.Array) -> jax.Array:
@@ -102,11 +147,11 @@ def col_panel_spmm_raw(pe: ColPanelELL, x: jax.Array) -> jax.Array:
     if not pe.panels:  # every panel was empty (e.g. an all-tile hybrid residual)
         return jnp.zeros((pe.n_rows, x.shape[1]), x.dtype)
     partials, vrows = [], []
-    for ell_p, s, w in zip(pe.panels, pe.starts, pe.widths):
+    for fb, s, w in zip(pe.panels, pe.starts, pe.widths):
         # static slice: the panel's entire gather table
         xs = jax.lax.slice_in_dim(x, s, s + w)
-        for cols, vals, rows in zip(ell_p.cols, ell_p.vals, ell_p.rows):
-            partials.append(_bucket_partial(xs, cols, vals))
+        for cols, vals, rows, k in zip(fb.cols, fb.vals, fb.rows, fb.ks):
+            partials.append(_flat_bucket_partial(xs, cols, vals, k))
             vrows.append(rows)
     p = jnp.concatenate(partials, axis=0)
     r = jnp.concatenate(vrows, axis=0)
