@@ -433,3 +433,17 @@ def test_hybrid_colpanel_residual_matches_dense():
     (dx,) = vjp(ct)
     np.testing.assert_allclose(np.asarray(dx), a.toarray().T @ np.asarray(ct),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_col_panel_chunked_path_matches(monkeypatch):
+    """The lax.map row-chunked gather (bounded-memory path for huge buckets)
+    must be bit-compatible with the unchunked path."""
+    import pygcn_tpu.ops.colpanel as cp
+
+    m = sp.random(400, 400, density=0.03, random_state=3, format="csr")
+    pe = cp.build_col_panel_ell(m, panel_width=128)
+    x = jax.random.normal(jax.random.key(2), (400, 16))
+    ref = np.asarray(cp.col_panel_spmm_raw(pe, x))
+    monkeypatch.setattr(cp, "ELL_CHUNK_BUDGET_ELEMS", 256)
+    out = np.asarray(cp.col_panel_spmm_raw(pe, x))
+    np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-6)
