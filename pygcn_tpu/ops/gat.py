@@ -319,42 +319,62 @@ def gat_conv_ell_onepass(
     degrades gracefully toward uniform instead of producing 0/0. Attention
     dropout multiplies the unnormalized numerator only (the denominator uses
     undropped weights) — algebraically identical to dropping alpha.
+
+    Layout: every per-slot tensor lives in **f-replicated ``[.., H·F]`` lane
+    space**. TPU pads the trailing dim to 128 lanes, so the obvious
+    ``[nb, k, H]`` logit tensors are 16x-padded at H=8 — the measured
+    profile put ~70% of the forward in exactly those narrow-lane ops. The
+    per-head logits/bound are replicated f-fold ONCE at node level (tiny
+    ``[N, H·F]`` tensors), after which logits, exp, attention weights, and
+    the weighted aggregation all share the gathered feature tensor's
+    efficient layout, and the softmax division happens once per node.
     """
     ell = graph.ell
     n, h, f = s.shape
-    logit_src = jnp.einsum("nhf,hf->nh", s, a_src)
-    logit_dst = jnp.einsum("nhf,hf->nh", s, a_dst)
-    s2 = s.reshape(n, h * f)
-    gmax = jax.lax.stop_gradient(logit_src.max(axis=0))  # [h]
+    hf = h * f
+    # f-replicated per-head node tensors: [N, H] -> [N, H*F] (head-major,
+    # matching s.reshape(n, h*f) lane order)
+    rep = lambda t: jnp.repeat(t, f, axis=-1)
+    logit_src = rep(jnp.einsum("nhf,hf->nh", s, a_src))
+    logit_dst = rep(jnp.einsum("nhf,hf->nh", s, a_dst))
+    s2 = s.reshape(n, hf)
+    gmax = jax.lax.stop_gradient(
+        logit_src.max(axis=0)
+    )  # [H*F] (per-head max, f-replicated by construction)
     m = jax.lax.stop_gradient(
         jax.nn.leaky_relu(gmax[None, :] + logit_dst, negative_slope)
-    )  # [N, h] per-receiver bound
+    )  # [N, H*F] per-receiver bound
 
     num_parts, den_parts, vrows = [], [], []
     for bi, (cols, eidx, rows) in enumerate(zip(ell.cols, em.eidx, ell.rows)):
         nb, k = cols.shape
         valid = (eidx != em.sentinel)[..., None]  # [nb, k, 1]
-        lsrc = jnp.take(logit_src, cols.reshape(-1), axis=0).reshape(nb, k, h)
+        flat = cols.reshape(-1)
+        lsrc = jnp.take(logit_src, flat, axis=0).reshape(nb, k, hf)
         ldst = jnp.take(logit_dst, rows, axis=0)[:, None, :]
         e = jax.nn.leaky_relu(lsrc + ldst, negative_slope)
         ex = jnp.exp(
             jnp.maximum(e - jnp.take(m, rows, axis=0)[:, None, :], -60.0)
-        ) * valid
-        den_parts.append(ex.sum(axis=1))
+        ) * valid  # [nb, k, H*F], f-replicated per head
+        den_parts.append(ex[..., ::f].sum(axis=1))  # [nb, H] one lane per head
         if attn_dropout is not None:
             drop, slot = attn_dropout
-            ex = drop((slot, bi), ex)
-        g = jnp.take(s2, cols.reshape(-1), axis=0).reshape(nb, k, h, f)
-        num_parts.append((g * ex[..., None]).reshape(nb, k, h * f).sum(axis=1))
+            # draw the mask in per-head shape (bit-compatible with the
+            # segmax path) and replicate over f
+            mask_in = jnp.ones((nb, k, h), ex.dtype)
+            ex = ex * rep(drop((slot, bi), mask_in))
+        g = jnp.take(s2, flat, axis=0).reshape(nb, k, hf)
+        num_parts.append((g * ex).sum(axis=1))  # [nb, H*F]
         vrows.append(rows)
     r = jnp.concatenate(vrows, axis=0)
     num = jax.ops.segment_sum(
         jnp.concatenate(num_parts, axis=0), r, num_segments=n
-    ).reshape(n, h, f)
+    )  # [N, H*F]
     den = jax.ops.segment_sum(
         jnp.concatenate(den_parts, axis=0), r, num_segments=n
-    )
-    return num / jnp.maximum(den, 1e-16)[..., None]
+    )  # [N, H]
+    out = num.reshape(n, h, f) / jnp.maximum(den, 1e-16)[..., None]
+    return out
 
 
 def gatv2_conv_ell(
