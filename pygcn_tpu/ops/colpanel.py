@@ -41,7 +41,7 @@ import jax.numpy as jnp
 import numpy as np
 import scipy.sparse as sp
 
-from pygcn_tpu.ops.ell import ELL_CHUNK_BUDGET_ELEMS, H_CHUNK, build_ell
+from pygcn_tpu.ops.ell import H_CHUNK, build_ell
 
 
 @dataclasses.dataclass(frozen=True)
@@ -114,14 +114,20 @@ def build_col_panel_ell(
     )
 
 
+# Per-bucket gathered-intermediate budget. Smaller than the global ELL's:
+# at products scale the [n_vrows, H] partial buffer is ~6.5 GiB, so the
+# transient gather chunks must stay ~1 GiB for the whole op to fit HBM.
+COLPANEL_CHUNK_BUDGET_ELEMS = 1 << 28
+
+
 def _flat_bucket_partial(x, cols, vals, k: int) -> jax.Array:
     """Per-virtual-row partials ``[nb, H]`` from flat ``[nb*k]`` cols/vals."""
     h = x.shape[1]
     nb = cols.shape[0] // k
-    if cols.shape[0] * h <= ELL_CHUNK_BUDGET_ELEMS:
+    if cols.shape[0] * h <= COLPANEL_CHUNK_BUDGET_ELEMS:
         g = jnp.take(x, cols, axis=0) * vals[:, None]  # [nb*k, H]
         return g.reshape(nb, k, h).sum(axis=1)
-    rows_per_chunk = max(1, ELL_CHUNK_BUDGET_ELEMS // (k * h))
+    rows_per_chunk = max(1, COLPANEL_CHUNK_BUDGET_ELEMS // (k * h))
     n_chunks = -(-nb // rows_per_chunk)
     pad = n_chunks * rows_per_chunk - nb
     cols_p = jnp.pad(cols, (0, pad * k)).reshape(n_chunks, rows_per_chunk * k)
@@ -146,14 +152,23 @@ def col_panel_spmm_raw(pe: ColPanelELL, x: jax.Array) -> jax.Array:
         )
     if not pe.panels:  # every panel was empty (e.g. an all-tile hybrid residual)
         return jnp.zeros((pe.n_rows, x.shape[1]), x.dtype)
-    partials, vrows = [], []
+    # Write partials into ONE preallocated [n_vrows, H] buffer at static
+    # offsets: XLA aliases the dynamic_update_slice chain in place, where a
+    # jnp.concatenate of the partial list kept pieces + copy live together
+    # (measured: 811 MB over HBM at ogbn-products scale).
+    h = x.shape[1]
+    total = sum(r.shape[0] for fb in pe.panels for r in fb.rows)
+    p = jnp.zeros((total, h), x.dtype)
+    vrows = []
+    ofs = 0
     for fb, s, w in zip(pe.panels, pe.starts, pe.widths):
         # static slice: the panel's entire gather table
         xs = jax.lax.slice_in_dim(x, s, s + w)
         for cols, vals, rows, k in zip(fb.cols, fb.vals, fb.rows, fb.ks):
-            partials.append(_flat_bucket_partial(xs, cols, vals, k))
+            part = _flat_bucket_partial(xs, cols, vals, k)
+            p = jax.lax.dynamic_update_slice(p, part, (ofs, 0))
+            ofs += rows.shape[0]
             vrows.append(rows)
-    p = jnp.concatenate(partials, axis=0)
     r = jnp.concatenate(vrows, axis=0)
     return jax.ops.segment_sum(p, r, num_segments=pe.n_rows)
 

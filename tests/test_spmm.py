@@ -444,6 +444,6 @@ def test_col_panel_chunked_path_matches(monkeypatch):
     pe = cp.build_col_panel_ell(m, panel_width=128)
     x = jax.random.normal(jax.random.key(2), (400, 16))
     ref = np.asarray(cp.col_panel_spmm_raw(pe, x))
-    monkeypatch.setattr(cp, "ELL_CHUNK_BUDGET_ELEMS", 256)
+    monkeypatch.setattr(cp, "COLPANEL_CHUNK_BUDGET_ELEMS", 256)
     out = np.asarray(cp.col_panel_spmm_raw(pe, x))
     np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-6)
