@@ -204,7 +204,7 @@ def gat_conv_ell(
     a_dst: jax.Array,  # [H, F']
     negative_slope: float = 0.2,
     attn_dropout=None,  # optional (drop_fn(key_slot, arr), key_slot) pair
-    stabilizer: str = "segmax",
+    stabilizer: str = "bound",
 ) -> jax.Array:
     """Slot-native GAT convolution: logits → softmax → aggregation entirely
     in ELL bucket blocks — **no per-edge tensor is ever materialized in COO
