@@ -175,6 +175,10 @@ def run_summary_ols(args):
 
     tr = np.concatenate([res.idx_train, res.idx_val])
     y = targets[:, args.target_code].astype(np.float64)
+    # Standardize y the same way train_evaluator does (train_evaluator.py:
+    # y -> (y - mean) / std) so the holdout MSE is on the SAME scale as the
+    # evaluator's test MSE; Spearman is scale-invariant either way.
+    y = (y - y.mean()) / max(y.std(), 1e-12)
     xd = np.concatenate([np.ones((x.shape[0], 1)), x], axis=1)
     coef, *_ = np.linalg.lstsq(xd[tr], y[tr], rcond=None)
     preds = xd[res.idx_test] @ coef

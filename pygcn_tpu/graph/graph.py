@@ -87,6 +87,10 @@ class Graph:
     panel_t: Optional[object] = None  # transpose panels for the backward SpMM
     colpanel: Optional[object] = None  # column-panel ELL (ops/colpanel.py)
     colpanel_t: Optional[object] = None  # transpose column panels
+    # Layout-shaping build kwargs as a hashable (key, value) tuple so
+    # ``transpose()`` rebuilds with the SAME hyperparameters (panel_width,
+    # hybrid residual/budget, ell_ks, ...) the caller chose — not defaults.
+    build_meta: tuple = ()
 
     # ------------------------------------------------------------------ #
     # Constructors (host-side preprocessing)
@@ -216,6 +220,17 @@ class Graph:
                 coo.T.tocsr(), panel_width, ell_ks
             )
 
+        build_meta = (
+            ("panel_width", panel_width),
+            ("hybrid_min_edges_per_tile", hybrid_min_edges_per_tile),
+            ("hybrid_tile_budget_bytes", hybrid_tile_budget_bytes),
+            ("hybrid_residual", hybrid_residual),
+            ("ell_ks", tuple(ell_ks)),
+            ("tile", tuple(tile)),
+            ("bcsr_budget_bytes", bcsr_budget_bytes),
+            ("dense_max_nodes", dense_max_nodes),
+        )
+
         return Graph(
             senders=jnp.asarray(senders, jnp.int32),
             receivers=jnp.asarray(receivers, jnp.int32),
@@ -234,6 +249,7 @@ class Graph:
             panel_t=panel_t,
             colpanel=colpanel,
             colpanel_t=colpanel_t,
+            build_meta=build_meta,
         )
 
     @staticmethod
@@ -263,6 +279,7 @@ class Graph:
             build_hybrid=self.hybrid is not None,
             build_panel=self.panel is not None,
             build_colpanel=self.colpanel is not None,
+            **dict(self.build_meta),
         )
 
     def to_scipy(self) -> sp.coo_matrix:
@@ -283,7 +300,7 @@ class Graph:
 jax.tree_util.register_dataclass(
     Graph,
     data_fields=["senders", "receivers", "weights", "dense", "bcsr", "bcsr_t", "ell", "ell_t", "hybrid", "hybrid_t", "panel", "panel_t", "colpanel", "colpanel_t"],
-    meta_fields=["n_nodes", "n_edges", "is_symmetric"],
+    meta_fields=["n_nodes", "n_edges", "is_symmetric", "build_meta"],
 )
 
 

@@ -204,7 +204,7 @@ def gat_conv_ell(
     a_dst: jax.Array,  # [H, F']
     negative_slope: float = 0.2,
     attn_dropout=None,  # optional (drop_fn(key_slot, arr), key_slot) pair
-    stabilizer: str = "bound",
+    stabilizer: str = "flash",
 ) -> jax.Array:
     """Slot-native GAT convolution: logits → softmax → aggregation entirely
     in ELL bucket blocks — **no per-edge tensor is ever materialized in COO
@@ -222,13 +222,20 @@ def gat_conv_ell(
     arxiv scale while the whole ELL SpMM is 9.4 ms — the COO-order GAT
     formulation pays that per-edge toll ~6 times per layer.
 
-    ``stabilizer="bound"`` dispatches to the fused one-pass variant
-    (:func:`gat_conv_ell_onepass`).
+    ``stabilizer="flash"`` (default) dispatches to the fused one-pass
+    variant (:func:`gat_conv_ell_onepass`) — numerically EXACT (per-block
+    local max + rescaled cross-block combine), one slot-gather sweep.
+    ``stabilizer="segmax"`` keeps the explicit 3-pass formulation below.
+    (The round-2 ``"bound"`` stabilizer — a node-level softmax bound whose
+    -60 clamp silently degraded attention toward uniform when the bound was
+    loose — is superseded by the exact combine and maps to it.)
     """
-    if stabilizer == "bound":
+    if stabilizer in ("flash", "bound"):
         return gat_conv_ell_onepass(
             graph, em, s, a_src, a_dst, negative_slope, attn_dropout
         )
+    if stabilizer != "segmax":
+        raise ValueError(f"unknown stabilizer {stabilizer!r}")
     ell = graph.ell
     n, h, f = s.shape
     logit_src = None if REUSE_GATHER else jnp.einsum("nhf,hf->nh", s, a_src)
@@ -300,34 +307,37 @@ def gat_conv_ell_onepass(
     negative_slope: float = 0.2,
     attn_dropout=None,
 ) -> jax.Array:
-    """One-pass GAT convolution with a node-level softmax stabilizer.
+    """One-pass GAT convolution, numerically EXACT via a flash-attention-
+    style two-level softmax.
 
-    GATv1's logit is monotone in the sender term —
-    ``e_uv = leaky_relu(lsrc_u + ldst_v)`` — so
-    ``max_u e_uv <= leaky_relu(max_n lsrc_n + ldst_v)``: a per-RECEIVER upper
-    bound computable from node tensors alone, no per-edge max pass and no
-    ``segment_max``. That collapses the three bucket sweeps of
-    :func:`gat_conv_ell` into ONE (logits, exp, and weighted aggregation in
-    the same loop), halves the slot gathers the backward must revisit, and
-    moves the alpha division from per-slot ``[nb, k, h]`` tensors to the
-    ``[N, h, f]`` output.
+    Each virtual row computes its own LOCAL max over its ≤K slots (a free
+    reduce on data already in registers), exponentiates against that local
+    shift (``exp(e - local_max) <= 1``, no clamp, no precision loss), and
+    emits per-vrow partial ``(numerator, denominator, local_max)``. The
+    cross-vrow combine then rescales every partial by
+    ``exp(local_max - segment_max(local_max))`` before the segment sums —
+    algebraically identical to the exact per-receiver softmax (the local
+    shifts cancel), which is the standard blockwise-softmax decomposition
+    (Milakov & Gimelshein 2018; FlashAttention). This keeps the fused
+    single-sweep structure (logits, exp, and weighted aggregation in one
+    bucket loop — half the slot gathers the 3-pass ``segmax`` backward must
+    revisit) WITHOUT the round-2 bound stabilizer's failure mode where all
+    incoming logits sat far below a loose node-level bound and the -60
+    clamp collapsed attention toward uniform.
 
-    Numerics: ``exp(e - bound) <= 1`` always; a receiver whose incoming
-    logits all sit far below the bound loses precision, so the exponent is
-    clamped at ``-60`` — slots at the clamp have true alpha < 1e-14 (≈ 0)
-    unless EVERY slot of that receiver is clamped, in which case attention
-    degrades gracefully toward uniform instead of producing 0/0. Attention
-    dropout multiplies the unnormalized numerator only (the denominator uses
-    undropped weights) — algebraically identical to dropping alpha.
+    Attention dropout multiplies the unnormalized numerator only (the
+    denominator uses undropped weights) — algebraically identical to
+    dropping alpha; masks are drawn in per-head ``[nb, k, H]`` shape,
+    bit-compatible with the segmax path.
 
-    Layout: every per-slot tensor lives in **f-replicated ``[.., H·F]`` lane
-    space**. TPU pads the trailing dim to 128 lanes, so the obvious
+    Layout: every per-slot tensor lives in **f-replicated ``[.., H·F]``
+    lane space**. TPU pads the trailing dim to 128 lanes, so the obvious
     ``[nb, k, H]`` logit tensors are 16x-padded at H=8 — the measured
     profile put ~70% of the forward in exactly those narrow-lane ops. The
-    per-head logits/bound are replicated f-fold ONCE at node level (tiny
-    ``[N, H·F]`` tensors), after which logits, exp, attention weights, and
-    the weighted aggregation all share the gathered feature tensor's
-    efficient layout, and the softmax division happens once per node.
+    per-head logits are replicated f-fold ONCE at node level (tiny
+    ``[N, H·F]`` tensors), after which logits, exp, local maxes, partials,
+    and the combine all ride full-lane tensors; the softmax division
+    happens once per node.
     """
     ell = graph.ell
     n, h, f = s.shape
@@ -338,43 +348,47 @@ def gat_conv_ell_onepass(
     logit_src = rep(jnp.einsum("nhf,hf->nh", s, a_src))
     logit_dst = rep(jnp.einsum("nhf,hf->nh", s, a_dst))
     s2 = s.reshape(n, hf)
-    gmax = jax.lax.stop_gradient(
-        logit_src.max(axis=0)
-    )  # [H*F] (per-head max, f-replicated by construction)
-    m = jax.lax.stop_gradient(
-        jax.nn.leaky_relu(gmax[None, :] + logit_dst, negative_slope)
-    )  # [N, H*F] per-receiver bound
 
-    num_parts, den_parts, vrows = [], [], []
+    num_parts, den_parts, max_parts, vrows = [], [], [], []
     for bi, (cols, eidx, rows) in enumerate(zip(ell.cols, em.eidx, ell.rows)):
-        nb, k = cols.shape
-        valid = (eidx != em.sentinel)[..., None]  # [nb, k, 1]
+        nb = rows.shape[0]
+        k = cols.size // nb
+        valid = eidx.reshape(nb, k)[..., None] != em.sentinel  # [nb, k, 1]
         flat = cols.reshape(-1)
         lsrc = jnp.take(logit_src, flat, axis=0).reshape(nb, k, hf)
         ldst = jnp.take(logit_dst, rows, axis=0)[:, None, :]
         e = jax.nn.leaky_relu(lsrc + ldst, negative_slope)
-        ex = jnp.exp(
-            jnp.maximum(e - jnp.take(m, rows, axis=0)[:, None, :], -60.0)
-        ) * valid  # [nb, k, H*F], f-replicated per head
-        den_parts.append(ex[..., ::f].sum(axis=1))  # [nb, H] one lane per head
+        e = jnp.where(valid, e, -jnp.inf)
+        # local max over this vrow's slots — f-replicated [nb, H*F]; -inf
+        # only when every slot is padding (the all-padding vrows of an empty
+        # bucket), handled by the shift/scale guards below.
+        bmax = jax.lax.stop_gradient(e.max(axis=1))
+        shift = jnp.where(jnp.isfinite(bmax), bmax, 0.0)
+        # exp(e - local_max) <= 1 exactly; padding slots are exp(-inf) = 0.
+        ex = jnp.exp(e - shift[:, None, :])  # [nb, k, H*F]
+        den_parts.append(ex.sum(axis=1))  # [nb, H*F] (f-replicated values)
         if attn_dropout is not None:
             drop, slot = attn_dropout
-            # draw the mask in per-head shape (bit-compatible with the
-            # segmax path) and replicate over f
             mask_in = jnp.ones((nb, k, h), ex.dtype)
             ex = ex * rep(drop((slot, bi), mask_in))
         g = jnp.take(s2, flat, axis=0).reshape(nb, k, hf)
         num_parts.append((g * ex).sum(axis=1))  # [nb, H*F]
+        max_parts.append(bmax)
         vrows.append(rows)
     r = jnp.concatenate(vrows, axis=0)
+    bmax = jnp.concatenate(max_parts, axis=0)  # [V, H*F]
+    m = jax.ops.segment_max(bmax, r, num_segments=n)  # [N, H*F]
+    m = jax.lax.stop_gradient(jnp.where(jnp.isfinite(m), m, 0.0))
+    # rescale each vrow's partials onto the receiver's global shift; the
+    # local shifts cancel exactly (all-padding vrows get scale 0).
+    scale = jnp.exp(bmax - jnp.take(m, r, axis=0))  # [V, H*F]
     num = jax.ops.segment_sum(
-        jnp.concatenate(num_parts, axis=0), r, num_segments=n
+        jnp.concatenate(num_parts, axis=0) * scale, r, num_segments=n
     )  # [N, H*F]
     den = jax.ops.segment_sum(
-        jnp.concatenate(den_parts, axis=0), r, num_segments=n
-    )  # [N, H]
-    out = num.reshape(n, h, f) / jnp.maximum(den, 1e-16)[..., None]
-    return out
+        jnp.concatenate(den_parts, axis=0) * scale, r, num_segments=n
+    )  # [N, H*F]
+    return (num / jnp.maximum(den, 1e-16)).reshape(n, h, f)
 
 
 def gatv2_conv_ell(
@@ -385,13 +399,28 @@ def gatv2_conv_ell(
     a: jax.Array,  # [H, F']
     negative_slope: float = 0.2,
     attn_dropout=None,
+    stabilizer: str = "flash",
 ) -> jax.Array:
     """Slot-native GATv2 convolution (see :func:`gat_conv_ell` for the
     layout rationale). The v2 logit ``a · leaky_relu(s_l[u] + s_r[v])``
     needs the full feature vector per slot, so pass 1 gathers the source
     block ``[nb, k, H·F']`` and (with ``REUSE_GATHER``) keeps it for the
     pass-3 aggregation — the re-gather variant stays available for A/B via
-    the module flag."""
+    the module flag.
+
+    ``stabilizer="flash"`` (default) dispatches to
+    :func:`gatv2_conv_ell_onepass`. Note the round-2 v1 ``bound``
+    stabilizer does NOT transfer to v2 — the nonlinearity precedes the
+    attention vector, so the logit is not monotone in a separable node term
+    and no node-level bound exists — but the exact per-vrow local-max
+    combine needs no bound at all, so v2 gets the same one-pass treatment.
+    """
+    if stabilizer in ("flash", "bound"):
+        return gatv2_conv_ell_onepass(
+            graph, em, s_l, s_r, a, negative_slope, attn_dropout
+        )
+    if stabilizer != "segmax":
+        raise ValueError(f"unknown stabilizer {stabilizer!r}")
     ell = graph.ell
     n, h, f = s_l.shape
     sl2 = s_l.reshape(n, h * f)
@@ -446,3 +475,64 @@ def gatv2_conv_ell(
         jnp.concatenate(out_parts, axis=0), r, num_segments=n
     )
     return out.reshape(n, h, f)
+
+
+def gatv2_conv_ell_onepass(
+    graph: Graph,
+    em: EdgeMap,
+    s_l: jax.Array,  # [N, H, F'] source transform (x @ W_l)
+    s_r: jax.Array,  # [N, H, F'] receiver transform (x @ W_r)
+    a: jax.Array,  # [H, F']
+    negative_slope: float = 0.2,
+    attn_dropout=None,
+) -> jax.Array:
+    """One-pass GATv2 via the exact flash-style two-level softmax (see
+    :func:`gat_conv_ell_onepass`). The payoff is larger than for v1: the
+    3-pass v2 gathers the wide ``[nb, k, H·F']`` source block TWICE per
+    bucket (logits pass + aggregation pass, ``REUSE_GATHER=False`` to avoid
+    autodiff residual OOM); fusing makes it ONE gather whose block feeds
+    both the logit einsum and the weighted aggregation. The per-slot logit
+    ``[nb, k, H]`` is inherently narrow for v2 (it is a reduction over F),
+    so the exp/scale algebra runs f-replicated like v1."""
+    ell = graph.ell
+    n, h, f = s_l.shape
+    hf = h * f
+    rep = lambda t: jnp.repeat(t, f, axis=-1)
+    sl2 = s_l.reshape(n, hf)
+    sr2 = s_r.reshape(n, hf)
+
+    num_parts, den_parts, max_parts, vrows = [], [], [], []
+    for bi, (cols, eidx, rows) in enumerate(zip(ell.cols, em.eidx, ell.rows)):
+        nb = rows.shape[0]
+        k = cols.size // nb
+        valid = eidx.reshape(nb, k)[..., None] != em.sentinel  # [nb, k, 1]
+        g = jnp.take(sl2, cols.reshape(-1), axis=0).reshape(nb, k, h, f)
+        d = jnp.take(sr2, rows, axis=0).reshape(nb, 1, h, f)
+        e = jnp.einsum(
+            "bkhf,hf->bkh", jax.nn.leaky_relu(g + d, negative_slope), a
+        )
+        e = rep(e)  # [nb, k, H*F] — full-lane for the exp/scale algebra
+        e = jnp.where(valid, e, -jnp.inf)
+        bmax = jax.lax.stop_gradient(e.max(axis=1))  # [nb, H*F]
+        shift = jnp.where(jnp.isfinite(bmax), bmax, 0.0)
+        ex = jnp.exp(e - shift[:, None, :])  # [nb, k, H*F]; padding -> 0
+        den_parts.append(ex.sum(axis=1))
+        if attn_dropout is not None:
+            drop, slot = attn_dropout
+            mask_in = jnp.ones((nb, k, h), ex.dtype)
+            ex = ex * rep(drop((slot, bi), mask_in))
+        num_parts.append((g.reshape(nb, k, hf) * ex).sum(axis=1))
+        max_parts.append(bmax)
+        vrows.append(rows)
+    r = jnp.concatenate(vrows, axis=0)
+    bmax = jnp.concatenate(max_parts, axis=0)
+    m = jax.ops.segment_max(bmax, r, num_segments=n)
+    m = jax.lax.stop_gradient(jnp.where(jnp.isfinite(m), m, 0.0))
+    scale = jnp.exp(bmax - jnp.take(m, r, axis=0))
+    num = jax.ops.segment_sum(
+        jnp.concatenate(num_parts, axis=0) * scale, r, num_segments=n
+    )
+    den = jax.ops.segment_sum(
+        jnp.concatenate(den_parts, axis=0) * scale, r, num_segments=n
+    )
+    return (num / jnp.maximum(den, 1e-16)).reshape(n, h, f)

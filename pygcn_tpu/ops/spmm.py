@@ -143,10 +143,19 @@ def spmm_t(graph: Graph, x: jax.Array, impl: str = "auto") -> jax.Array:
         out = spmm_t(graph, wide, impl)
         return jnp.moveaxis(out.reshape(n, b, h), 1, 0)
     impl = _resolve_impl(graph, impl)
+    # Explicit-impl calls on graphs missing the layout must fail with the
+    # same clear ValueError the forward path raises (not an AttributeError
+    # from _transpose_layout receiving None for the forward layout too).
+    if impl in ("ell", "hybrid", "panel", "colpanel") and getattr(graph, impl) is None:
+        raise ValueError(
+            f"graph has no {impl} layout; build with build_{impl}=True"
+        )
     squeeze = x.ndim == 1
     if squeeze:
         x = x[:, None]
     if impl == "dense":
+        if graph.dense is None:
+            raise ValueError("graph has no dense layout; build with build_dense=True")
         out = jnp.dot(graph.dense.T, x, preferred_element_type=x.dtype)
     elif impl == "segment":
         # Swap the roles of senders/receivers. receivers are sorted, senders

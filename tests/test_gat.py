@@ -342,11 +342,12 @@ def test_gatv2_learns_sbm():
     assert acc > 0.75, acc
 
 
-def test_onepass_bound_gat_matches_segmax_path():
-    """gat_conv_ell(stabilizer='bound') — the fused one-pass variant with the
-    node-level softmax bound — matches the three-pass segment_max path in
-    values and gradients, including the attention-dropout formulation
-    (numerator-only drop == dropping normalized alpha)."""
+def test_onepass_flash_gat_matches_segmax_path():
+    """gat_conv_ell(stabilizer='flash') — the fused one-pass variant with the
+    exact per-vrow local-max / rescaled-combine softmax — matches the
+    three-pass segment_max path in values and gradients, including the
+    attention-dropout formulation (numerator-only drop == dropping
+    normalized alpha)."""
     from pygcn_tpu.ops.gat import build_edge_map, gat_conv_ell
 
     g, _ = _ell_graph()
@@ -356,8 +357,8 @@ def test_onepass_bound_gat_matches_segmax_path():
     a_src = jnp.asarray(rng.normal(size=(3, 4)).astype(np.float32))
     a_dst = jnp.asarray(rng.normal(size=(3, 4)).astype(np.float32))
 
-    out_ref = gat_conv_ell(g, em, s, a_src, a_dst)
-    out_one = gat_conv_ell(g, em, s, a_src, a_dst, stabilizer="bound")
+    out_ref = gat_conv_ell(g, em, s, a_src, a_dst, stabilizer="segmax")
+    out_one = gat_conv_ell(g, em, s, a_src, a_dst, stabilizer="flash")
     np.testing.assert_allclose(np.asarray(out_one), np.asarray(out_ref),
                                rtol=1e-4, atol=1e-5)
 
@@ -365,7 +366,7 @@ def test_onepass_bound_gat_matches_segmax_path():
         return (gat_conv_ell(g, em, v, a_src, a_dst, stabilizer=stab) ** 2).sum()
 
     g_ref = jax.grad(loss)(s, "segmax")
-    g_one = jax.grad(loss)(s, "bound")
+    g_one = jax.grad(loss)(s, "flash")
     np.testing.assert_allclose(np.asarray(g_one), np.asarray(g_ref),
                                rtol=2e-3, atol=1e-5)
 
@@ -375,8 +376,77 @@ def test_onepass_bound_gat_matches_segmax_path():
         keep = jax.random.bernoulli(k, 0.6, arr.shape).astype(arr.dtype)
         return arr * keep / 0.6
 
-    out_ref_d = gat_conv_ell(g, em, s, a_src, a_dst, attn_dropout=(drop, 0))
+    out_ref_d = gat_conv_ell(g, em, s, a_src, a_dst, attn_dropout=(drop, 0),
+                             stabilizer="segmax")
     out_one_d = gat_conv_ell(g, em, s, a_src, a_dst, attn_dropout=(drop, 0),
-                             stabilizer="bound")
+                             stabilizer="flash")
+    np.testing.assert_allclose(np.asarray(out_one_d), np.asarray(out_ref_d),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_onepass_flash_exact_on_ill_conditioned_logits():
+    """The round-2 'bound' stabilizer collapsed attention toward uniform when
+    every incoming logit sat far below the node-level bound (one huge-lsrc
+    hub not adjacent to a receiver made the bound loose by >60). The exact
+    flash combine must match segmax on exactly that construction."""
+    from pygcn_tpu.ops.gat import build_edge_map, gat_conv_ell
+
+    g, m = _ell_graph(n=60, density=0.08, seed=13)
+    em = build_edge_map(g)
+    rng = np.random.default_rng(13)
+    s = rng.normal(size=(60, 2, 4)).astype(np.float32)
+    a_src = np.zeros((2, 4), np.float32)
+    a_src[:, 0] = 1.0  # lsrc = s[..., 0]
+    a_dst = rng.normal(size=(2, 4)).astype(np.float32) * 0.1
+    # a node with an enormous source logit: receivers NOT adjacent to it
+    # have true max logits ~O(1) while the old global bound sat ~200 above
+    csr = m.tocsr()
+    hub = int(np.argmin(np.asarray(csr.sum(axis=0)).ravel()))  # least-referenced
+    s[hub, :, 0] = 250.0
+    s = jnp.asarray(s)
+
+    out_ref = gat_conv_ell(g, em, s, jnp.asarray(a_src), jnp.asarray(a_dst),
+                           stabilizer="segmax")
+    out_one = gat_conv_ell(g, em, s, jnp.asarray(a_src), jnp.asarray(a_dst),
+                           stabilizer="flash")
+    np.testing.assert_allclose(np.asarray(out_one), np.asarray(out_ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_gatv2_onepass_matches_segmax_path():
+    """gatv2_conv_ell(stabilizer='flash') == the 3-pass v2 path, values and
+    gradients (the v1 node-level bound does not exist for v2; the exact
+    local-max combine needs none)."""
+    from pygcn_tpu.ops.gat import build_edge_map, gatv2_conv_ell
+
+    g, _ = _ell_graph(seed=17)
+    em = build_edge_map(g)
+    rng = np.random.default_rng(17)
+    s_l = jnp.asarray(rng.normal(size=(60, 3, 4)).astype(np.float32))
+    s_r = jnp.asarray(rng.normal(size=(60, 3, 4)).astype(np.float32))
+    a = jnp.asarray(rng.normal(size=(3, 4)).astype(np.float32))
+
+    out_ref = gatv2_conv_ell(g, em, s_l, s_r, a, stabilizer="segmax")
+    out_one = gatv2_conv_ell(g, em, s_l, s_r, a, stabilizer="flash")
+    np.testing.assert_allclose(np.asarray(out_one), np.asarray(out_ref),
+                               rtol=1e-4, atol=1e-5)
+
+    def loss(v, stab):
+        return (gatv2_conv_ell(g, em, v, s_r, a, stabilizer=stab) ** 2).sum()
+
+    g_ref = jax.grad(loss)(s_l, "segmax")
+    g_one = jax.grad(loss)(s_l, "flash")
+    np.testing.assert_allclose(np.asarray(g_one), np.asarray(g_ref),
+                               rtol=2e-3, atol=1e-5)
+
+    def drop(key_slot, arr):
+        k = jax.random.fold_in(jax.random.key(9), hash(key_slot) % (2**31))
+        keep = jax.random.bernoulli(k, 0.6, arr.shape).astype(arr.dtype)
+        return arr * keep / 0.6
+
+    out_ref_d = gatv2_conv_ell(g, em, s_l, s_r, a, attn_dropout=(drop, 0),
+                               stabilizer="segmax")
+    out_one_d = gatv2_conv_ell(g, em, s_l, s_r, a, attn_dropout=(drop, 0),
+                               stabilizer="flash")
     np.testing.assert_allclose(np.asarray(out_one_d), np.asarray(out_ref_d),
                                rtol=1e-4, atol=1e-5)
