@@ -53,11 +53,22 @@ class GATConv(Module):
         return p
 
     def apply(self, params, x: jax.Array, graph: Graph,
-              attn_dropout=None, edge_map=None) -> jax.Array:
+              attn_dropout=None, edge_map=None, hybrid_tiles=False,
+              tiles_t=None) -> jax.Array:
         n = x.shape[0]
         h, f = self.heads, self.out_features
         s = jnp.dot(x, params["w"]).reshape(n, h, f)
-        if edge_map is not None:
+        if hybrid_tiles and attn_dropout is None:
+            # Pallas tile attention + ELL residual (ops/gat.gat_conv_hybrid);
+            # attention dropout is unsupported there — fall through to the
+            # slot path when training with it.
+            from pygcn_tpu.ops.gat import gat_conv_hybrid
+
+            out = gat_conv_hybrid(
+                graph, tiles_t, s, params["a_src"], params["a_dst"],
+                self.negative_slope,
+            )
+        elif edge_map is not None:
             from pygcn_tpu.ops.gat import gat_conv_ell
 
             out = gat_conv_ell(
@@ -176,12 +187,17 @@ class GAT(Module):
         return {name: m.init(keys[name]) for name, m in ch.items()}
 
     def apply(self, params, x: jax.Array, graph: Graph,
-              dropout_rng=None, edge_map=None) -> jax.Array:
+              dropout_rng=None, edge_map=None, hybrid_tiles=False,
+              tiles_t=None) -> jax.Array:
         """Pass ``dropout_rng`` during training to enable the paper's
         dropout on layer inputs and attention coefficients (eval: omit).
         Pass ``edge_map`` (``ops.gat.build_edge_map``, needs the graph's ELL
         layout) to run softmax/aggregation on virtual rows — the fast path
-        for power-law graphs."""
+        for power-law graphs. ``hybrid_tiles=True`` (v1 only, graph built
+        with a hybrid ELL-residual layout, ``tiles_t`` from
+        ``ops.gat.build_gat_tiles_t``) runs tile edges through the fused
+        Pallas VMEM attention kernel; attention dropout falls back to the
+        slot path (input dropout still applies)."""
         ch = self._children()
         drop = None
         if dropout_rng is not None and self.dropout > 0.0:
@@ -196,15 +212,18 @@ class GAT(Module):
                 return jnp.where(m, a / keep, 0.0)
 
             drop = drop_fn
+        hk = {}
+        if hybrid_tiles and not self.v2:
+            hk = {"hybrid_tiles": True, "tiles_t": tiles_t}
         if drop is not None:
             x = drop(0, x)
         x = ch["gat1"].apply(params["gat1"], x, graph,
                              attn_dropout=(drop, 1) if drop else None,
-                             edge_map=edge_map)
+                             edge_map=edge_map, **hk)
         x = jax.nn.elu(x)
         if drop is not None:
             x = drop(2, x)
         x = ch["gat2"].apply(params["gat2"], x, graph,
                              attn_dropout=(drop, 3) if drop else None,
-                             edge_map=edge_map)
+                             edge_map=edge_map, **hk)
         return jax.nn.log_softmax(x, axis=1)

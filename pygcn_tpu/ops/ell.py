@@ -35,7 +35,16 @@ import scipy.sparse as sp
 
 @dataclasses.dataclass(frozen=True)
 class ELL:
-    """Per-bucket ``(cols [Nb, K], vals [Nb, K], rows [Nb])`` blocks."""
+    """Per-bucket ``(cols [Nb·K], vals [Nb·K], rows [Nb])`` blocks.
+
+    ``cols``/``vals`` are stored FLAT (1-D, row-major over the logical
+    ``[Nb, K]`` block): any 2-D array with a trailing dim < 128 pads to the
+    TPU ``(8, 128)`` tile, so a ``[Nb, 4]`` int32 bucket costs 32x its
+    logical bytes — the measured cause of the 25.2 GiB HLO copies / OOM at
+    ogbn-products scale that ``ops/colpanel.py`` first diagnosed. Flat
+    arrays are tile-free; only gathered ``[Nb·K, H]`` activations (lane-
+    aligned) are ever 2-D. The logical ``K`` of bucket ``j`` is ``ks[j]``
+    (equivalently ``cols[j].size // rows[j].size``)."""
 
     cols: Tuple[jax.Array, ...]
     vals: Tuple[jax.Array, ...]
@@ -62,8 +71,8 @@ def build_ell(mat: sp.spmatrix, ks: Tuple[int, ...] = (4, 8, 16, 32, 64, 128, 25
         if built is not None:
             cols, vals, rows = built
             return ELL(
-                cols=tuple(jnp.asarray(c) for c in cols),
-                vals=tuple(jnp.asarray(v) for v in vals),
+                cols=tuple(jnp.asarray(c.reshape(-1)) for c in cols),
+                vals=tuple(jnp.asarray(v.reshape(-1)) for v in vals),
                 rows=tuple(jnp.asarray(r) for r in rows),
                 ks=tuple(ks),
                 n_rows=n,
@@ -84,8 +93,8 @@ def build_ell(mat: sp.spmatrix, ks: Tuple[int, ...] = (4, 8, 16, 32, 64, 128, 25
     for j, k in enumerate(ks):
         sel = np.nonzero(bucket == j)[0]
         if sel.size == 0:
-            cols_out.append(jnp.zeros((1, k), jnp.int32))
-            vals_out.append(jnp.zeros((1, k), jnp.float32))
+            cols_out.append(jnp.zeros(k, jnp.int32))
+            vals_out.append(jnp.zeros(k, jnp.float32))
             rows_out.append(jnp.zeros(1, jnp.int32))
             continue
         offs = np.arange(k)
@@ -94,8 +103,8 @@ def build_ell(mat: sp.spmatrix, ks: Tuple[int, ...] = (4, 8, 16, 32, 64, 128, 25
         idx = np.minimum(idx, max(len(indices) - 1, 0))
         cols = np.where(valid, indices[idx] if len(indices) else 0, 0)
         vals = np.where(valid, data[idx] if len(data) else 0.0, 0.0)
-        cols_out.append(jnp.asarray(cols.astype(np.int32)))
-        vals_out.append(jnp.asarray(vals.astype(np.float32)))
+        cols_out.append(jnp.asarray(cols.astype(np.int32).reshape(-1)))
+        vals_out.append(jnp.asarray(vals.astype(np.float32).reshape(-1)))
         rows_out.append(jnp.asarray(vrow_row[sel].astype(np.int32)))
 
     return ELL(
@@ -117,23 +126,24 @@ H_CHUNK = 128  # gather cost is per-row and flat up to 512 B/row, with a
 ELL_CHUNK_BUDGET_ELEMS = 1 << 30
 
 
-def _bucket_partial(x: jax.Array, cols: jax.Array, vals: jax.Array) -> jax.Array:
-    """One bucket's per-virtual-row partial sums ``[nb, H]``."""
-    nb, k = cols.shape
+def _bucket_partial(x: jax.Array, cols: jax.Array, vals: jax.Array, k: int) -> jax.Array:
+    """One bucket's per-virtual-row partial sums ``[nb, H]`` from FLAT
+    ``[nb·k]`` cols/vals (see the ELL docstring for why flat)."""
     h = x.shape[1]
-    if nb * k * h <= ELL_CHUNK_BUDGET_ELEMS:
-        g = jnp.take(x, cols.reshape(-1), axis=0).reshape(nb, k, h)
-        return (g * vals[..., None]).sum(axis=1)
+    nb = cols.shape[0] // k
+    if cols.shape[0] * h <= ELL_CHUNK_BUDGET_ELEMS:
+        g = jnp.take(x, cols, axis=0) * vals[:, None]  # [nb*k, H]
+        return g.reshape(nb, k, h).sum(axis=1)
     rows_per_chunk = max(1, ELL_CHUNK_BUDGET_ELEMS // (k * h))
     n_chunks = -(-nb // rows_per_chunk)
     pad = n_chunks * rows_per_chunk - nb
-    cols_p = jnp.pad(cols, ((0, pad), (0, 0))).reshape(n_chunks, rows_per_chunk, k)
-    vals_p = jnp.pad(vals, ((0, pad), (0, 0))).reshape(n_chunks, rows_per_chunk, k)
+    cols_p = jnp.pad(cols, (0, pad * k)).reshape(n_chunks, rows_per_chunk * k)
+    vals_p = jnp.pad(vals, (0, pad * k)).reshape(n_chunks, rows_per_chunk * k)
 
     def body(cv):
         c, v = cv
-        g = jnp.take(x, c.reshape(-1), axis=0).reshape(rows_per_chunk, k, h)
-        return (g * v[..., None]).sum(axis=1)
+        g = jnp.take(x, c, axis=0) * v[:, None]
+        return g.reshape(rows_per_chunk, k, h).sum(axis=1)
 
     out = jax.lax.map(body, (cols_p, vals_p))
     return out.reshape(n_chunks * rows_per_chunk, h)[:nb]
@@ -149,8 +159,8 @@ def ell_spmm_raw(ell: ELL, x: jax.Array) -> jax.Array:
         )
     partials = []
     vrows = []
-    for cols, vals, rows in zip(ell.cols, ell.vals, ell.rows):
-        partials.append(_bucket_partial(x, cols, vals))
+    for cols, vals, rows, k in zip(ell.cols, ell.vals, ell.rows, ell.ks):
+        partials.append(_bucket_partial(x, cols, vals, k))
         vrows.append(rows)
     p = jnp.concatenate(partials, axis=0)
     r = jnp.concatenate(vrows, axis=0)
@@ -242,10 +252,10 @@ def split_ell_spmm_raw(sell: SplitELL, x: jax.Array) -> jax.Array:
     x_hub = jnp.take(x, sell.hub_ids, axis=0)
     partials, vrows = [], []
     for ell, src in ((sell.hub, x_hub), (sell.rest, x)):
-        for cols, vals, rws in zip(ell.cols, ell.vals, ell.rows):
-            nb, k = cols.shape
-            g = jnp.take(src, cols.reshape(-1), axis=0).reshape(nb, k, x.shape[1])
-            partials.append((g * vals[..., None]).sum(axis=1))
+        for cols, vals, rws, k in zip(ell.cols, ell.vals, ell.rows, ell.ks):
+            nb = rws.shape[0]
+            g = jnp.take(src, cols, axis=0) * vals[:, None]
+            partials.append(g.reshape(nb, k, x.shape[1]).sum(axis=1))
             vrows.append(rws)
     p = jnp.concatenate(partials, axis=0)
     r = jnp.concatenate(vrows, axis=0)
@@ -255,21 +265,22 @@ def split_ell_spmm_raw(sell: SplitELL, x: jax.Array) -> jax.Array:
 def build_ell_stacked(mats, ks: Tuple[int, ...] = (4, 8, 16, 32, 64, 128, 256)):
     """Build shard-uniform stacked ELL layouts for a list of equally-shaped
     sparse matrices (one per device shard): per bucket, ``cols/vals`` become
-    ``[P, Nb_max, K]`` and ``rows`` ``[P, Nb_max]`` with per-shard padding to
-    the max block count, so the arrays shard cleanly over a mesh axis.
+    FLAT ``[P, Nb_max·K]`` and ``rows`` ``[P, Nb_max]`` with per-shard
+    padding to the max block count, so the arrays shard cleanly over a mesh
+    axis (flat for the same tile-padding reason as :class:`ELL`).
     """
     built = [build_ell(m, ks) for m in mats]
     n_rows = built[0].n_rows
     cols_out, vals_out, rows_out = [], [], []
     for j, k in enumerate(ks):
-        nb_max = max(e.cols[j].shape[0] for e in built)
-        cols = np.zeros((len(mats), nb_max, k), np.int32)
-        vals = np.zeros((len(mats), nb_max, k), np.float32)
+        nb_max = max(e.rows[j].shape[0] for e in built)
+        cols = np.zeros((len(mats), nb_max * k), np.int32)
+        vals = np.zeros((len(mats), nb_max * k), np.float32)
         rows = np.zeros((len(mats), nb_max), np.int32)
         for p, e in enumerate(built):
-            nb = e.cols[j].shape[0]
-            cols[p, :nb] = np.asarray(e.cols[j])
-            vals[p, :nb] = np.asarray(e.vals[j])
+            nb = e.rows[j].shape[0]
+            cols[p, : nb * k] = np.asarray(e.cols[j])
+            vals[p, : nb * k] = np.asarray(e.vals[j])
             rows[p, :nb] = np.asarray(e.rows[j])
         cols_out.append(jnp.asarray(cols))
         vals_out.append(jnp.asarray(vals))
@@ -278,13 +289,15 @@ def build_ell_stacked(mats, ks: Tuple[int, ...] = (4, 8, 16, 32, 64, 128, 256)):
 
 
 def ell_apply_arrays(cols, vals, rows, n_rows: int, x: jax.Array) -> jax.Array:
-    """Run the ELL gather+reduce+combine given raw per-bucket arrays (the
-    shard-local compute inside ``shard_map``; see ``parallel/dist_spmm.py``)."""
+    """Run the ELL gather+reduce+combine given raw per-bucket FLAT arrays
+    (``cols/vals`` ``[nb·k]``, ``rows`` ``[nb]`` — the shard-local compute
+    inside ``shard_map``; see ``parallel/dist_spmm.py``)."""
     partials, vrows = [], []
     for c, v, r in zip(cols, vals, rows):
-        nb, k = c.shape
-        g = jnp.take(x, c.reshape(-1), axis=0).reshape(nb, k, x.shape[1])
-        partials.append((g * v[..., None]).sum(axis=1))
+        nb = r.shape[0]
+        k = c.shape[0] // nb
+        g = jnp.take(x, c, axis=0) * v[:, None]
+        partials.append(g.reshape(nb, k, x.shape[1]).sum(axis=1))
         vrows.append(r)
     p = jnp.concatenate(partials, axis=0)
     r = jnp.concatenate(vrows, axis=0)

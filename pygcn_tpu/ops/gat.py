@@ -131,13 +131,15 @@ def gatv2_attention(
 
 @dataclasses.dataclass(frozen=True)
 class EdgeMap:
-    """Per-bucket ``eidx [Nb, K]``: each ELL slot's edge position in the
-    graph's canonical (receiver-major) edge order; padding slots hold the
-    sentinel ``e_pad``. Lets per-edge values computed in COO order (attention
-    weights) ride the bucketed-ELL layout, so every per-receiver reduction
-    (softmax max, softmax denominator, aggregation) becomes a length-K
-    reduce + a segment op over ~N virtual rows instead of a per-edge
-    scatter over E edge ids (13x fewer ids on arxiv-scale graphs)."""
+    """Per-bucket FLAT ``eidx [Nb·K]`` (row-major over the logical
+    ``[Nb, K]`` block, matching the flat ELL storage): each slot's edge
+    position in the graph's canonical (receiver-major) edge order; padding
+    slots hold the sentinel ``e_pad``. Lets per-edge values computed in COO
+    order (attention weights) ride the bucketed-ELL layout, so every
+    per-receiver reduction (softmax max, softmax denominator, aggregation)
+    becomes a length-K reduce + a segment op over ~N virtual rows instead
+    of a per-edge scatter over E edge ids (13x fewer ids on arxiv-scale
+    graphs)."""
 
     eidx: tuple
     sentinel: int
@@ -177,13 +179,13 @@ def build_edge_map(graph: Graph) -> EdgeMap:
     for j, k in enumerate(ks):
         sel = np.nonzero(bucket == j)[0]
         if sel.size == 0:
-            eidx_out.append(jnp.full((1, k), sentinel, jnp.int32))
+            eidx_out.append(jnp.full(k, sentinel, jnp.int32))
             continue
         offs = np.arange(k)
         idx = vstart[sel][:, None] + offs
         valid = offs < vlen[sel][:, None]
         eidx = np.where(valid, idx, sentinel)
-        eidx_out.append(jnp.asarray(eidx.astype(np.int32)))
+        eidx_out.append(jnp.asarray(eidx.astype(np.int32).reshape(-1)))
     return EdgeMap(eidx=tuple(eidx_out), sentinel=sentinel)
 
 
@@ -247,15 +249,16 @@ def gat_conv_ell(
     # instead of a second slot gather), per-vrow max partials
     g_blocks, e_blocks, valid_blocks, max_parts, vrows = [], [], [], [], []
     for cols, eidx, rows in zip(ell.cols, em.eidx, ell.rows):
-        nb, k = cols.shape
-        valid = (eidx != em.sentinel)[..., None]  # [nb, k, 1]
+        nb = rows.shape[0]
+        k = cols.size // nb
+        valid = (eidx.reshape(nb, k) != em.sentinel)[..., None]  # [nb, k, 1]
         if REUSE_GATHER:
-            g = jnp.take(s2, cols.reshape(-1), axis=0).reshape(nb, k, h, f)
+            g = jnp.take(s2, cols, axis=0).reshape(nb, k, h, f)
             g_blocks.append(g)
             lsrc = jnp.einsum("bkhf,hf->bkh", g, a_src)
         else:
             g_blocks.append(None)
-            lsrc = jnp.take(logit_src, cols.reshape(-1), axis=0).reshape(nb, k, h)
+            lsrc = jnp.take(logit_src, cols, axis=0).reshape(nb, k, h)
         ldst = jnp.take(logit_dst, rows, axis=0)[:, None, :]  # [nb, 1, h]
         e = jax.nn.leaky_relu(lsrc + ldst, negative_slope)
         e = jnp.where(valid, e, -jnp.inf)
@@ -283,14 +286,15 @@ def gat_conv_ell(
     # pass 3: alpha per slot, weighted combine over the pass-1 blocks
     out_parts = []
     for bi, (cols, ex, rows) in enumerate(zip(ell.cols, ex_blocks, vrows)):
-        nb, k = cols.shape
+        nb = rows.shape[0]
+        k = cols.size // nb
         alpha = ex / jnp.take(denom, rows, axis=0)[:, None, :]  # [nb, k, h]
         if attn_dropout is not None:
             drop, slot = attn_dropout
             alpha = drop((slot, bi), alpha)
         g = g_blocks[bi]
         if g is None:
-            g = jnp.take(s2, cols.reshape(-1), axis=0).reshape(nb, k, h, f)
+            g = jnp.take(s2, cols, axis=0).reshape(nb, k, h, f)
         out_parts.append((g * alpha[..., None]).reshape(nb, k, h * f).sum(axis=1))
     out = jax.ops.segment_sum(
         jnp.concatenate(out_parts, axis=0), r, num_segments=n
@@ -341,19 +345,43 @@ def gat_conv_ell_onepass(
     """
     ell = graph.ell
     n, h, f = s.shape
-    hf = h * f
-    # f-replicated per-head node tensors: [N, H] -> [N, H*F] (head-major,
-    # matching s.reshape(n, h*f) lane order)
     rep = lambda t: jnp.repeat(t, f, axis=-1)
     logit_src = rep(jnp.einsum("nhf,hf->nh", s, a_src))
     logit_dst = rep(jnp.einsum("nhf,hf->nh", s, a_dst))
-    s2 = s.reshape(n, hf)
+    s2 = s.reshape(n, h * f)
+    valids = [
+        eidx.reshape(rows.shape[0], -1) != em.sentinel
+        for eidx, rows in zip(em.eidx, ell.rows)
+    ]
+    num, den, _m = _ell_attn_partials(
+        ell, logit_src, logit_dst, s2, h, f, negative_slope, valids,
+        attn_dropout,
+    )
+    return (num / jnp.maximum(den, 1e-16)).reshape(n, h, f)
 
+
+def _ell_attn_partials(ell, logit_src, logit_dst, s2, h, f, negative_slope,
+                       valids, attn_dropout=None):
+    """Per-receiver attention partials over an ELL layout's edges.
+
+    ``logit_src``/``logit_dst``: f-replicated ``[N, H·F]`` node logits;
+    ``s2``: ``[N, H·F]`` features; ``valids``: per-bucket ``[nb, k]`` bool
+    of real (non-padding) slots. Returns ``(num, den, m)``, all
+    ``[N, H·F]`` (``den``/``m`` f-replicated): ``num = Σ exp(e - m[v]) s``,
+    ``den = Σ exp(e - m[v])``, ``m`` the per-receiver max logit over THIS
+    layout's edges (``-inf`` where a receiver has none, stop-gradiented).
+    Dividing ``num/den`` yields the exact softmax over these edges;
+    combining with another structure's partials is the rescaled flash merge
+    (see :func:`gat_conv_hybrid`).
+    """
+    n = s2.shape[0]
+    hf = h * f
+    rep = lambda t: jnp.repeat(t, f, axis=-1)
     num_parts, den_parts, max_parts, vrows = [], [], [], []
-    for bi, (cols, eidx, rows) in enumerate(zip(ell.cols, em.eidx, ell.rows)):
+    for bi, (cols, rows, valid2) in enumerate(zip(ell.cols, ell.rows, valids)):
         nb = rows.shape[0]
         k = cols.size // nb
-        valid = eidx.reshape(nb, k)[..., None] != em.sentinel  # [nb, k, 1]
+        valid = valid2[..., None]  # [nb, k, 1]
         flat = cols.reshape(-1)
         lsrc = jnp.take(logit_src, flat, axis=0).reshape(nb, k, hf)
         ldst = jnp.take(logit_dst, rows, axis=0)[:, None, :]
@@ -378,16 +406,100 @@ def gat_conv_ell_onepass(
     r = jnp.concatenate(vrows, axis=0)
     bmax = jnp.concatenate(max_parts, axis=0)  # [V, H*F]
     m = jax.ops.segment_max(bmax, r, num_segments=n)  # [N, H*F]
-    m = jax.lax.stop_gradient(jnp.where(jnp.isfinite(m), m, 0.0))
+    shift_m = jax.lax.stop_gradient(jnp.where(jnp.isfinite(m), m, 0.0))
     # rescale each vrow's partials onto the receiver's global shift; the
     # local shifts cancel exactly (all-padding vrows get scale 0).
-    scale = jnp.exp(bmax - jnp.take(m, r, axis=0))  # [V, H*F]
+    scale = jnp.exp(bmax - jnp.take(shift_m, r, axis=0))  # [V, H*F]
     num = jax.ops.segment_sum(
         jnp.concatenate(num_parts, axis=0) * scale, r, num_segments=n
     )  # [N, H*F]
     den = jax.ops.segment_sum(
         jnp.concatenate(den_parts, axis=0) * scale, r, num_segments=n
     )  # [N, H*F]
+    return num, den, jax.lax.stop_gradient(m)
+
+
+def build_gat_tiles_t(graph: Graph):
+    """Host-side: the EXACT transpose of the hybrid layout's forward tiles,
+    for :func:`gat_conv_hybrid`'s sender-indexed backward kernel (see
+    ``ops/pallas/gat_tile_attn.transpose_bcsr`` for why ``graph.hybrid_t``
+    is not reused). Returns None when the hybrid layout has no tiles."""
+    from pygcn_tpu.ops.pallas.gat_tile_attn import transpose_bcsr
+
+    if graph.hybrid is None:
+        raise ValueError("graph has no hybrid layout; build with build_hybrid=True")
+    if graph.hybrid.bcsr is None:
+        return None
+    return transpose_bcsr(graph.hybrid.bcsr)
+
+
+def gat_conv_hybrid(
+    graph: Graph,
+    tiles_t,  # build_gat_tiles_t(graph) — exact transpose tiles (or None)
+    s: jax.Array,  # [N, H, F'] per-head transformed features
+    a_src: jax.Array,  # [H, F']
+    a_dst: jax.Array,  # [H, F']
+    negative_slope: float = 0.2,
+) -> jax.Array:
+    """GAT convolution on the hybrid BCSR+ELL layout: attention for the
+    ~70% of edges inside dense 128×128 tiles runs as a fused Pallas
+    VMEM kernel (``ops/pallas/gat_tile_attn.py`` — logits, masked exp, and
+    the weighted MXU accumulation never leave VMEM, and the backward is
+    gather-free kernels over the transpose tiles), while residual edges
+    ride the slot-native ELL path. Both sides emit per-receiver
+    ``(num, den, max)`` partials; the exact softmax over the FULL
+    neighborhood is the rescaled flash merge of the two.
+
+    Requires ``graph.hybrid`` with an ELL residual (colpanel residuals are
+    a large-graph SpMM layout; build the graph with
+    ``hybrid_residual='ell'`` for attention). Attention dropout is not
+    supported on this path — use the ELL path (``edge_map``) when training
+    with attention dropout.
+    """
+    from pygcn_tpu.ops.ell import ELL
+    from pygcn_tpu.ops.pallas.gat_tile_attn import NEG, gat_tile_partials
+
+    hy = graph.hybrid
+    if hy is None:
+        raise ValueError("graph has no hybrid layout; build with build_hybrid=True")
+    if not isinstance(hy.ell, ELL):
+        raise ValueError(
+            "hybrid attention needs an ELL residual (hybrid_residual='ell')"
+        )
+    if hy.bcsr is not None and tiles_t is None:
+        raise ValueError("pass tiles_t=build_gat_tiles_t(graph)")
+    n, h, f = s.shape
+    rep = lambda t: jnp.repeat(t, f, axis=-1)
+    lsrc_n = jnp.einsum("nhf,hf->nh", s, a_src)  # [N, H]
+    ldst_n = jnp.einsum("nhf,hf->nh", s, a_dst)
+    s2 = s.reshape(n, h * f)
+
+    # residual (non-tile) edges: a slot is real iff it carries a stored
+    # adjacency value (normalized adjacencies are > 0 on real edges)
+    ell = hy.ell
+    valids = [
+        v.reshape(r.shape[0], -1) != 0 for v, r in zip(ell.vals, ell.rows)
+    ]
+    num_e, den_e, m_e = _ell_attn_partials(
+        ell, rep(lsrc_n), rep(ldst_n), s2, h, f, negative_slope, valids
+    )
+    if hy.bcsr is None:
+        return (num_e / jnp.maximum(den_e, 1e-16)).reshape(n, h, f)
+
+    num_t, den_t, m_t = gat_tile_partials(
+        (h, f, negative_slope), hy.bcsr, tiles_t, lsrc_n, ldst_n, s2
+    )
+    m_t = rep(m_t)
+    den_t = rep(den_t)
+    # exact cross-structure softmax: rescale both partial sets onto the
+    # combined per-receiver max (receivers with no edges at all end up
+    # 0/max(0,eps) = 0, matching edge_softmax's zero rows)
+    m_comb = jax.lax.stop_gradient(jnp.maximum(m_t, m_e))
+    shift = jnp.where(m_comb > -1e29, m_comb, 0.0)
+    st = jnp.exp(m_t - shift)
+    se = jnp.exp(jnp.where(jnp.isfinite(m_e), m_e, NEG) - shift)
+    num = num_t * st + num_e * se
+    den = den_t * st + den_e * se
     return (num / jnp.maximum(den, 1e-16)).reshape(n, h, f)
 
 
@@ -429,9 +541,10 @@ def gatv2_conv_ell(
     # pass 1: per-slot v2 logits, per-vrow max partials
     g_blocks, e_blocks, valid_blocks, max_parts, vrows = [], [], [], [], []
     for cols, eidx, rows in zip(ell.cols, em.eidx, ell.rows):
-        nb, k = cols.shape
-        valid = (eidx != em.sentinel)[..., None]  # [nb, k, 1]
-        g = jnp.take(sl2, cols.reshape(-1), axis=0).reshape(nb, k, h, f)
+        nb = rows.shape[0]
+        k = cols.size // nb
+        valid = (eidx.reshape(nb, k) != em.sentinel)[..., None]  # [nb, k, 1]
+        g = jnp.take(sl2, cols, axis=0).reshape(nb, k, h, f)
         g_blocks.append(g if REUSE_GATHER else None)
         d = jnp.take(sr2, rows, axis=0).reshape(nb, 1, h, f)
         e = jnp.einsum(
@@ -462,14 +575,15 @@ def gatv2_conv_ell(
     # pass 3: alpha per slot, weighted combine over the pass-1 blocks
     out_parts = []
     for bi, (cols, ex, rows) in enumerate(zip(ell.cols, ex_blocks, vrows)):
-        nb, k = cols.shape
+        nb = rows.shape[0]
+        k = cols.size // nb
         alpha = ex / jnp.take(denom, rows, axis=0)[:, None, :]  # [nb, k, h]
         if attn_dropout is not None:
             drop, slot = attn_dropout
             alpha = drop((slot, bi), alpha)
         g = g_blocks[bi]
         if g is None:
-            g = jnp.take(sl2, cols.reshape(-1), axis=0).reshape(nb, k, h, f)
+            g = jnp.take(sl2, cols, axis=0).reshape(nb, k, h, f)
         out_parts.append((g * alpha[..., None]).reshape(nb, k, h * f).sum(axis=1))
     out = jax.ops.segment_sum(
         jnp.concatenate(out_parts, axis=0), r, num_segments=n

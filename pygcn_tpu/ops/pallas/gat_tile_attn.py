@@ -1,0 +1,396 @@
+"""Pallas TPU fused tile attention for GAT — MXU/VPU attention on the
+hybrid layout's dense 128×128 tiles.
+
+The slot-native ELL GAT (``ops/gat.py``) is gather-bound: every per-slot
+tensor rides XLA's HBM gather machinery, and the backward's scatter-adds of
+the two slot gathers are the measured wall (PERF_NOTES r2: 50.6 ms fwd /
+161 ms step at the arxiv config). On a locality-ordered community graph
+~70% of edges sit inside dense 128×128 tiles (the hybrid SpMM's MXU side) —
+for those edges attention needs NO gather at all: a tile couples a
+contiguous 128-row receiver block with a contiguous 128-row sender block,
+so the logits/exp/weighted-sum for all its edges are dense VPU/MXU ops on
+contiguous slices held in VMEM. Arbitrary-index gathers are impossible in
+Mosaic (the r1 negative result); *contiguous-block* indexing via scalar-
+prefetched tile coordinates is exactly what BlockSpec index maps do.
+
+Per tile (receiver block r = block_rows[i], sender block c = block_cols[i]):
+
+    e[v, u]  = leaky_relu(ldst[v] + lsrc[u])          per head (VPU)
+    masked by the tile's adjacency pattern
+    online-softmax accumulation over the tiles of each block row
+    (flash-attention style: running max / corrected num & den),
+    num[v]  += exp(e - m) @ s[c·128 : c·128+128]       per head (MXU)
+
+The kernel emits per-receiver PARTIALS ``(num, den, m)`` rather than
+normalized outputs: a receiver's neighborhood spans tile edges AND residual
+(non-tile) edges, so the exact softmax is completed outside by the same
+rescaled flash combine the ELL one-pass uses (``ops/gat.py:
+gat_conv_ell_onepass``), merging tile partials with ELL-residual partials.
+
+Backward is two Pallas kernels over the same tile structure (custom_vjp):
+the receiver-indexed gradient (dldst) accumulates over row-sorted forward
+tiles, and the sender-indexed gradients (ds, dlsrc) accumulate over the
+transpose tiles (prebuilt in ``HybridLayout``'s transpose; symmetric graphs
+reuse the forward tiles) — both reuse the SpMM kernel's revisiting-output
+pattern, so no scatter ever materializes.
+
+Reference analog: the attention scorer at reference ``pygcn/models.py:
+316-329`` is the closest op; this kernel is a TPU-native design for the GAT
+family extension, not a port.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pygcn_tpu.graph.graph import BCSR
+
+NEG = -1e30  # finite -inf stand-in (f32-safe max/exp algebra, no NaNs)
+
+
+def _interpret() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+def transpose_bcsr(bcsr: BCSR) -> BCSR:
+    """Host-side EXACT transpose of a tile set (same edges, coordinates
+    swapped, tiles re-sorted by block row).
+
+    The backward's sender-indexed kernel iterates transpose tiles; it must
+    see exactly the forward tile edges. ``HybridLayout``'s own transpose is
+    built by re-running tile selection on ``A^T``, whose budget-cap
+    tie-breaking can route a borderline tile pair differently — so the
+    transpose used for the attention backward is derived from the forward
+    tiles directly."""
+    import numpy as np
+
+    data = np.asarray(bcsr.data)
+    br = np.asarray(bcsr.block_rows)
+    bc = np.asarray(bcsr.block_cols)
+    order = np.lexsort((br, bc))
+    nbr = bc[order].astype(np.int32)
+    nbc = br[order].astype(np.int32)
+    nd = data[order].transpose(0, 2, 1)
+    n_block_rows = bcsr.n_block_cols
+    n_block_cols = bcsr.n_block_rows
+    empty = np.setdiff1d(np.arange(n_block_rows, dtype=np.int64), nbr)
+    if empty.size:
+        nd = np.concatenate(
+            [nd, np.zeros((empty.size, bcsr.tk, bcsr.tm), nd.dtype)])
+        nbr = np.concatenate([nbr, empty.astype(np.int32)])
+        nbc = np.concatenate([nbc, np.zeros(empty.size, np.int32)])
+        o2 = np.lexsort((nbc, nbr))
+        nd, nbr, nbc = nd[o2], nbr[o2], nbc[o2]
+    ptr = np.zeros(n_block_rows + 1, np.int64)
+    np.add.at(ptr, nbr + 1, 1)
+    ptr = np.cumsum(ptr).astype(np.int32)
+    return BCSR(
+        data=jnp.asarray(nd), block_rows=jnp.asarray(nbr),
+        block_cols=jnp.asarray(nbc), block_row_ptr=jnp.asarray(ptr),
+        tm=bcsr.tk, tk=bcsr.tm,
+        n_block_rows=n_block_rows, n_block_cols=n_block_cols,
+    )
+
+
+def _leaky(x, slope):
+    return jnp.where(x >= 0, x, slope * x)
+
+
+# --------------------------------------------------------------------- #
+# forward kernel
+# --------------------------------------------------------------------- #
+
+
+def _fwd_kernel(h, f, slope, br_ref, bc_ref, mask_ref, lsrcT_ref, ldst_ref,
+                s_ref, num_ref, den_ref, max_ref):
+    i = pl.program_id(0)
+    prev = br_ref[jnp.maximum(i - 1, 0)]
+    first_of_row = jnp.logical_or(i == 0, br_ref[i] != prev)
+
+    @pl.when(first_of_row)
+    def _():
+        num_ref[...] = jnp.zeros_like(num_ref)
+        den_ref[...] = jnp.zeros_like(den_ref)
+        max_ref[...] = jnp.full_like(max_ref, NEG)
+
+    mask = mask_ref[0] != 0  # [tm, tk]
+    for hh in range(h):
+        lsrc = lsrcT_ref[hh : hh + 1, :]  # [1, tk]
+        ldst = ldst_ref[:, hh : hh + 1]  # [tm, 1]
+        e = _leaky(ldst + lsrc, slope)  # [tm, tk]
+        neg = jnp.where(mask, e, NEG)
+        tmax = jnp.max(neg, axis=1, keepdims=True)  # [tm, 1]
+        m_old = max_ref[:, hh : hh + 1]
+        m_new = jnp.maximum(m_old, tmax)
+        ex = jnp.where(mask, jnp.exp(neg - m_new), 0.0)  # [tm, tk]
+        corr = jnp.exp(m_old - m_new)  # [tm, 1]; NEG-NEG -> exp(0)=1, den stays 0
+        den_ref[:, hh : hh + 1] = den_ref[:, hh : hh + 1] * corr + jnp.sum(
+            ex, axis=1, keepdims=True
+        )
+        sl = s_ref[:, hh * f : (hh + 1) * f]  # [tk, F]
+        num_ref[:, hh * f : (hh + 1) * f] = num_ref[
+            :, hh * f : (hh + 1) * f
+        ] * corr + jnp.dot(ex, sl, preferred_element_type=jnp.float32)
+        max_ref[:, hh : hh + 1] = m_new
+
+
+def _run_fwd(bcsr: BCSR, lsrcT, ldst, s2, h: int, f: int, slope: float):
+    tm, tk = bcsr.tm, bcsr.tk
+    t = bcsr.data.shape[0]
+    n_rows_pad = bcsr.n_block_rows * tm
+    n_cols_pad = bcsr.n_block_cols * tk
+    hf = h * f
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(t,),
+        in_specs=[
+            pl.BlockSpec((1, tm, tk), lambda i, br, bc: (i, 0, 0)),
+            pl.BlockSpec((h, tk), lambda i, br, bc: (0, bc[i])),
+            pl.BlockSpec((tm, h), lambda i, br, bc: (br[i], 0)),
+            pl.BlockSpec((tk, hf), lambda i, br, bc: (bc[i], 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((tm, hf), lambda i, br, bc: (br[i], 0)),
+            pl.BlockSpec((tm, h), lambda i, br, bc: (br[i], 0)),
+            pl.BlockSpec((tm, h), lambda i, br, bc: (br[i], 0)),
+        ],
+    )
+    num, den, mx = pl.pallas_call(
+        functools.partial(_fwd_kernel, h, f, slope),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_rows_pad, hf), jnp.float32),
+            jax.ShapeDtypeStruct((n_rows_pad, h), jnp.float32),
+            jax.ShapeDtypeStruct((n_rows_pad, h), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=t * h * tm * tk * (8 + 2 * f),
+            bytes_accessed=(t * (tm * tk + tk * hf + 2 * tm * hf)) * 4,
+            transcendentals=2 * t * h * tm * tk,
+        ),
+        interpret=_interpret(),
+    )(bcsr.block_rows, bcsr.block_cols, bcsr.data, lsrcT, ldst, s2)
+    return num, den, mx
+
+
+# --------------------------------------------------------------------- #
+# backward kernels
+# --------------------------------------------------------------------- #
+
+
+def _bwd_dldst_kernel(h, f, slope, br_ref, bc_ref, mask_ref, lsrcT_ref,
+                      ldst_ref, s_ref, m_ref, dnum_ref, dden_ref, dldst_ref):
+    """Receiver-indexed gradient over row-sorted forward tiles."""
+    i = pl.program_id(0)
+    prev = br_ref[jnp.maximum(i - 1, 0)]
+    first_of_row = jnp.logical_or(i == 0, br_ref[i] != prev)
+
+    @pl.when(first_of_row)
+    def _():
+        dldst_ref[...] = jnp.zeros_like(dldst_ref)
+
+    mask = mask_ref[0] != 0
+    for hh in range(h):
+        lsrc = lsrcT_ref[hh : hh + 1, :]  # [1, tk]
+        ldst = ldst_ref[:, hh : hh + 1]  # [tm, 1]
+        pre = ldst + lsrc
+        e = _leaky(pre, slope)
+        m = m_ref[:, hh : hh + 1]  # [tm, 1] kernel-local row max
+        p = jnp.where(mask, jnp.exp(e - m), 0.0)  # unnormalized, local shift
+        # d e = p * (s_u . dnum_v + dden_v), per head
+        gdot = jax.lax.dot_general(
+            dnum_ref[:, hh * f : (hh + 1) * f],  # [tm, F]
+            s_ref[:, hh * f : (hh + 1) * f],  # [tk, F]
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [tm, tk]
+        de = p * (gdot + dden_ref[:, hh : hh + 1])
+        de = de * jnp.where(pre >= 0, 1.0, slope)
+        dldst_ref[:, hh : hh + 1] += jnp.sum(de, axis=1, keepdims=True)
+
+
+def _bwd_sender_kernel(h, f, slope, br_ref, bc_ref, mask_ref, lsrc_ref,
+                       ldstT_ref, s_ref, mT_ref, dnum_ref, ddenT_ref,
+                       ds_ref, dlsrc_ref):
+    """Sender-indexed gradients over TRANSPOSE tiles (block rows = senders).
+
+    For transpose tile i: rows u are senders, cols v are receivers; the
+    forward edge is (u -> v) with logit ``leaky(lsrc[u] + ldst[v])``.
+    """
+    i = pl.program_id(0)
+    prev = br_ref[jnp.maximum(i - 1, 0)]
+    first_of_row = jnp.logical_or(i == 0, br_ref[i] != prev)
+
+    @pl.when(first_of_row)
+    def _():
+        ds_ref[...] = jnp.zeros_like(ds_ref)
+        dlsrc_ref[...] = jnp.zeros_like(dlsrc_ref)
+
+    mask = mask_ref[0] != 0  # [tm(u), tk(v)]
+    for hh in range(h):
+        lsrc = lsrc_ref[:, hh : hh + 1]  # [tm, 1] sender logits
+        ldst = ldstT_ref[hh : hh + 1, :]  # [1, tk] receiver logits
+        pre = lsrc + ldst
+        e = _leaky(pre, slope)
+        m = mT_ref[hh : hh + 1, :]  # [1, tk] receiver row max
+        p = jnp.where(mask, jnp.exp(e - m), 0.0)  # [tm(u), tk(v)]
+        dnum_h = dnum_ref[:, hh * f : (hh + 1) * f]  # [tk(v), F]
+        # ds_u += sum_v p_uv * dnum_v
+        ds_ref[:, hh * f : (hh + 1) * f] += jnp.dot(
+            p, dnum_h, preferred_element_type=jnp.float32
+        )
+        gdot = jax.lax.dot_general(
+            s_ref[:, hh * f : (hh + 1) * f],  # [tm(u), F]
+            dnum_h,  # [tk(v), F]
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [tm, tk]
+        de = p * (gdot + ddenT_ref[hh : hh + 1, :])
+        de = de * jnp.where(pre >= 0, 1.0, slope)
+        dlsrc_ref[:, hh : hh + 1] += jnp.sum(de, axis=1, keepdims=True)
+
+
+# --------------------------------------------------------------------- #
+# custom-vjp wrapper
+# --------------------------------------------------------------------- #
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def gat_tile_partials(meta, bcsr, bcsr_t, lsrc, ldst, s2):
+    """Per-receiver attention partials over the dense-tile edges.
+
+    ``meta = (h, f, slope)`` (static); ``bcsr``/``bcsr_t`` are the hybrid
+    layout's forward/transpose tiles (tile VALUES only gate the mask — GAT
+    attends over structure). ``lsrc``/``ldst``: per-head logits ``[N, H]``;
+    ``s2``: transformed features ``[N, H·F]``.
+
+    Returns ``(num [N, H·F], den [N, H], m [N, H])`` with ``m`` the
+    per-receiver max over TILE edges (``NEG`` where a receiver has none) —
+    combine with residual-edge partials via the rescaled flash merge.
+    ``m`` is non-differentiable (standard safe-softmax treatment); its
+    cotangent is ignored.
+    """
+    num, den, mx = _tile_fwd_impl(meta, bcsr, lsrc, ldst, s2)
+    return num, den, mx
+
+
+def _tile_fwd_impl(meta, bcsr, lsrc, ldst, s2):
+    h, f, slope = meta
+    n = s2.shape[0]
+    tk = bcsr.tk
+    n_cols_pad = bcsr.n_block_cols * tk
+    pad = n_cols_pad - n
+    s2p = jnp.pad(s2, ((0, pad), (0, 0))) if pad else s2
+    ldst_p = jnp.pad(ldst, ((0, pad), (0, 0))) if pad else ldst
+    lsrcT = jnp.pad(lsrc, ((0, pad), (0, 0))).T if pad else lsrc.T
+    num, den, mx = _run_fwd(bcsr, lsrcT, ldst_p, s2p, h, f, slope)
+    return num[:n], den[:n], mx[:n]
+
+
+def _tile_vjp_fwd(meta, bcsr, bcsr_t, lsrc, ldst, s2):
+    num, den, mx = _tile_fwd_impl(meta, bcsr, lsrc, ldst, s2)
+    return (num, den, mx), (bcsr, bcsr_t, lsrc, ldst, s2, mx)
+
+
+def _tile_vjp_bwd(meta, res, cts):
+    h, f, slope = meta
+    bcsr, bcsr_t, lsrc, ldst, s2, mx = res
+    dnum, dden, _dm = cts  # m is treated as constant (safe-softmax shifts)
+    n = s2.shape[0]
+    hf = h * f
+    tm, tk = bcsr.tm, bcsr.tk
+
+    def padded(a, rows):
+        p = rows - a.shape[0]
+        return jnp.pad(a, ((0, p), (0, 0))) if p else a
+
+    n_pad = bcsr.n_block_cols * tk
+
+    lsrc_p = padded(lsrc, n_pad)
+    ldst_p = padded(ldst, n_pad)
+    s2_p = padded(s2, n_pad)
+    m_p = padded(mx, n_pad)
+    dnum_p = padded(dnum, n_pad)
+    dden_p = padded(dden, n_pad)
+
+    t = bcsr.data.shape[0]
+    grid1 = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(t,),
+        in_specs=[
+            pl.BlockSpec((1, tm, tk), lambda i, br, bc: (i, 0, 0)),
+            pl.BlockSpec((h, tk), lambda i, br, bc: (0, bc[i])),
+            pl.BlockSpec((tm, h), lambda i, br, bc: (br[i], 0)),
+            pl.BlockSpec((tk, hf), lambda i, br, bc: (bc[i], 0)),
+            pl.BlockSpec((tm, h), lambda i, br, bc: (br[i], 0)),
+            pl.BlockSpec((tm, hf), lambda i, br, bc: (br[i], 0)),
+            pl.BlockSpec((tm, h), lambda i, br, bc: (br[i], 0)),
+        ],
+        out_specs=pl.BlockSpec((tm, h), lambda i, br, bc: (br[i], 0)),
+    )
+    dldst = pl.pallas_call(
+        functools.partial(_bwd_dldst_kernel, h, f, slope),
+        grid_spec=grid1,
+        out_shape=jax.ShapeDtypeStruct((bcsr.n_block_rows * tm, h), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=t * h * tm * tk * (10 + 2 * f),
+            bytes_accessed=(t * (tm * tk + tk * hf + 2 * tm * hf)) * 4,
+            transcendentals=t * h * tm * tk,
+        ),
+        interpret=_interpret(),
+    )(bcsr.block_rows, bcsr.block_cols, bcsr.data, lsrc_p.T, ldst_p, s2_p,
+      m_p, dnum_p, dden_p)[:n]
+
+    tt = bcsr_t.data.shape[0]
+    tmt, tkt = bcsr_t.tm, bcsr_t.tk
+    n_pad_t = bcsr_t.n_block_cols * tkt
+    # transpose tiles share the node space; re-pad to the transpose grid
+    lsrc_t = padded(lsrc, n_pad_t)
+    ldst_t = padded(ldst, n_pad_t)
+    s2_t = padded(s2, n_pad_t)
+    m_t = padded(mx, n_pad_t)
+    dnum_t = padded(dnum, n_pad_t)
+    dden_t = padded(dden, n_pad_t)
+    grid2 = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(tt,),
+        in_specs=[
+            pl.BlockSpec((1, tmt, tkt), lambda i, br, bc: (i, 0, 0)),
+            pl.BlockSpec((tmt, h), lambda i, br, bc: (br[i], 0)),
+            pl.BlockSpec((h, tkt), lambda i, br, bc: (0, bc[i])),
+            pl.BlockSpec((tmt, hf), lambda i, br, bc: (br[i], 0)),
+            pl.BlockSpec((h, tkt), lambda i, br, bc: (0, bc[i])),
+            pl.BlockSpec((tkt, hf), lambda i, br, bc: (bc[i], 0)),
+            pl.BlockSpec((h, tkt), lambda i, br, bc: (0, bc[i])),
+        ],
+        out_specs=[
+            pl.BlockSpec((tmt, hf), lambda i, br, bc: (br[i], 0)),
+            pl.BlockSpec((tmt, h), lambda i, br, bc: (br[i], 0)),
+        ],
+    )
+    ds, dlsrc = pl.pallas_call(
+        functools.partial(_bwd_sender_kernel, h, f, slope),
+        grid_spec=grid2,
+        out_shape=[
+            jax.ShapeDtypeStruct((bcsr_t.n_block_rows * tmt, hf), jnp.float32),
+            jax.ShapeDtypeStruct((bcsr_t.n_block_rows * tmt, h), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=tt * h * tm * tk * (10 + 4 * f),
+            bytes_accessed=(tt * (tm * tk + tk * hf + 3 * tm * hf)) * 4,
+            transcendentals=tt * h * tm * tk,
+        ),
+        interpret=_interpret(),
+    )(bcsr_t.block_rows, bcsr_t.block_cols, bcsr_t.data, lsrc_t, ldst_t.T,
+      s2_t, m_t.T, dnum_t, dden_t.T)
+    zeros = lambda e: jax.tree.map(jnp.zeros_like, e)
+    return zeros(bcsr), zeros(bcsr_t), dlsrc[:n], dldst, ds[:n]
+
+
+gat_tile_partials.defvjp(_tile_vjp_fwd, _tile_vjp_bwd)

@@ -105,13 +105,10 @@ def make_dist_spmm(
     if use_ell:
         loc_edges = plan.loc_ell
         rem_edges = plan.rem_ell
-        edge_spec = jax.tree.map(lambda _: P(axis, None, None), loc_edges)
-        rem_spec = jax.tree.map(lambda _: P(axis, None, None), rem_edges)
-        # rows arrays are 2-D [P, Nb]
-        edge_spec = (edge_spec[0], edge_spec[1],
-                     tuple(P(axis, None) for _ in loc_edges[2]))
-        rem_spec = (rem_spec[0], rem_spec[1],
-                    tuple(P(axis, None) for _ in rem_edges[2]))
+        # every stacked array is 2-D: cols/vals [P, Nb·K] (flat buckets),
+        # rows [P, Nb]
+        edge_spec = jax.tree.map(lambda _: P(axis, None), loc_edges)
+        rem_spec = jax.tree.map(lambda _: P(axis, None), rem_edges)
     else:
         loc_edges = (plan.loc_s, plan.loc_r, plan.loc_w)
         rem_edges = (plan.rem_h, plan.rem_r, plan.rem_w)

@@ -450,3 +450,68 @@ def test_gatv2_onepass_matches_segmax_path():
                                stabilizer="flash")
     np.testing.assert_allclose(np.asarray(out_one_d), np.asarray(out_ref_d),
                                rtol=1e-4, atol=1e-5)
+
+
+def _clustered_graph(n=320, seed=21, symmetric=False):
+    """Graph with dense 128-tiles (communities) + sparse residual."""
+    rng = np.random.default_rng(seed)
+    # dense-ish block 0:128 x 0:128 and 128:256 x 128:256
+    rows, cols = [], []
+    for s0 in (0, 128):
+        r = rng.integers(s0, s0 + 128, 3000)
+        c = rng.integers(s0, s0 + 128, 3000)
+        rows.append(r); cols.append(c)
+    r = rng.integers(0, n, 800); c = rng.integers(0, n, 800)
+    rows.append(r); cols.append(c)
+    rows = np.concatenate(rows); cols = np.concatenate(cols)
+    mask = rows != cols
+    m = sp.coo_matrix((np.ones(mask.sum(), np.float32), (rows[mask], cols[mask])),
+                      shape=(n, n))
+    m.sum_duplicates()
+    m.data[:] = np.random.default_rng(seed + 1).uniform(0.5, 2.0, m.nnz)
+    if symmetric:
+        m = m.maximum(m.T).tocoo()
+    g = Graph.from_scipy(
+        m.astype(np.float32), is_symmetric=symmetric, build_dense=False,
+        build_bcsr=False, build_ell=False, build_hybrid=True,
+        hybrid_min_edges_per_tile=64,
+    )
+    assert g.hybrid.bcsr is not None and g.hybrid.tile_edges > 0
+    assert g.hybrid.tile_edges < g.n_edges  # residual non-empty too
+    return g, m
+
+
+def test_gat_hybrid_matches_coo_path():
+    """gat_conv_hybrid (Pallas tile attention + ELL residual, flash-merged)
+    == the COO softmax/aggregate reference, values AND gradients, on a graph
+    where both tiles and residual edges are populated."""
+    from pygcn_tpu.ops.gat import build_gat_tiles_t, gat_conv_hybrid
+
+    for symmetric in (False, True):
+        g, _ = _clustered_graph(symmetric=symmetric)
+        tiles_t = build_gat_tiles_t(g)
+        rng = np.random.default_rng(23)
+        n = g.n_nodes
+        h, f = 2, 4
+        s = jnp.asarray(rng.normal(size=(n, h, f)).astype(np.float32))
+        a_src = jnp.asarray(rng.normal(size=(h, f)).astype(np.float32))
+        a_dst = jnp.asarray(rng.normal(size=(h, f)).astype(np.float32))
+
+        alpha_ref = gat_attention(g, s, a_src, a_dst)
+        out_ref = attention_aggregate(g, s, alpha_ref)
+        out_h = gat_conv_hybrid(g, tiles_t, s, a_src, a_dst)
+        np.testing.assert_allclose(np.asarray(out_h), np.asarray(out_ref),
+                                   rtol=2e-4, atol=2e-5)
+
+        def loss_ref(v, asrc, adst):
+            al = gat_attention(g, v, asrc, adst)
+            return (attention_aggregate(g, v, al) ** 2).sum()
+
+        def loss_h(v, asrc, adst):
+            return (gat_conv_hybrid(g, tiles_t, v, asrc, adst) ** 2).sum()
+
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2))(s, a_src, a_dst)
+        gh = jax.grad(loss_h, argnums=(0, 1, 2))(s, a_src, a_dst)
+        for a, b in zip(gh, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=4e-3, atol=2e-4)
