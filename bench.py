@@ -68,7 +68,20 @@ def bench_tpu_clustered(adj) -> tuple[float, int, float]:
         np.random.default_rng(0).normal(size=(graph.n_nodes, H)).astype(np.float32)
     )
     t = time_chained(lambda v: spmm(graph, v), x, iters=ITERS)
-    return t, graph.n_edges, graph.hybrid.tile_edges / graph.n_edges
+    # effective HBM traffic of the hybrid op (BASELINE speed-of-light audit):
+    # residual ELL moves (col id + val + gathered H-row) per slot + the vrow
+    # partials; BCSR moves tile values + an x and y slab per tile; plus the
+    # [N, H] output. Lower bound — XLA fusion can only do better.
+    hy = graph.hybrid
+    slots = sum(int(c.size) for c in hy.ell.cols)
+    vrows = sum(int(r.size) for r in hy.ell.rows)
+    bytes_eff = slots * (8 + 4 * H) + 2 * vrows * 4 * H
+    if hy.bcsr is not None:
+        tiles = int(hy.bcsr.data.shape[0])
+        tm, tk = hy.bcsr.tm, hy.bcsr.tk
+        bytes_eff += tiles * 4 * (tm * tk + tk * H + tm * H)
+    bytes_eff += graph.n_nodes * H * 4
+    return t, graph.n_edges, hy.tile_edges / graph.n_edges, bytes_eff
 
 
 def bench_tpu_chung_lu() -> tuple[float, int]:
@@ -112,10 +125,15 @@ def bench_torch_cpu(adj) -> float:
     return float(np.median(times))
 
 
+HBM_GBPS = 819.0  # v5e HBM bandwidth ceiling (BASELINE "speed-of-light")
+
+
 def main():
     adj = build_clustered()
-    t_tpu, n_edges, tile_frac = bench_tpu_clustered(adj)
+    t_tpu, n_edges, tile_frac, bytes_eff = bench_tpu_clustered(adj)
     edges_per_s = n_edges / t_tpu
+    eff_gbps = bytes_eff / t_tpu / 1e9
+    hbm_frac = eff_gbps / HBM_GBPS
     try:
         t_cl, e_cl = bench_tpu_chung_lu()
         cl_meps = e_cl / t_cl / 1e6
@@ -131,12 +149,16 @@ def main():
             {
                 "metric": "spmm_edges_per_s_per_chip (arxiv-scale community graph, "
                 "H=128, shuffled ids -> lp locality order -> hybrid BCSR+ELL, "
-                f"{tile_frac:.0%} of edges on MXU tiles; structure-free chung-lu "
+                f"{tile_frac:.0%} of edges on MXU tiles; effective "
+                f"{eff_gbps:.0f} GB/s = {hbm_frac:.0%} of the 819 GB/s v5e "
+                f"HBM ceiling; structure-free chung-lu "
                 f"ELL = {cl_meps:.0f}M edges/s; vs_baseline = reference "
                 "torch.spmm on CPU, same clustered graph)",
                 "value": edges_per_s,
                 "unit": "edges/s",
                 "vs_baseline": vs_baseline,
+                "effective_gbps": eff_gbps,
+                "hbm_fraction": hbm_frac,
             }
         )
     )

@@ -331,35 +331,40 @@ def sampled_gatv2_forward(
     n_layers = len(params_list)
     for i, (p, block) in enumerate(zip(params_list, batch.blocks)):
         heads, fo = p["a"].shape
+        hf = heads * fo
         m, k = block.cols.shape
         s_l = jnp.dot(h, p["w_l"])  # [n_in, H*F']
         s_r = jnp.dot(h, p.get("w_r", p["w_l"]))
-        g = jnp.take(s_l, block.cols.reshape(-1), axis=0).reshape(
-            m, k, heads, fo
-        )
-        d = jnp.take(s_r, block.self_idx, axis=0).reshape(m, 1, heads, fo)
-        e = jnp.einsum(
-            "mkhf,hf->mkh", jax.nn.leaky_relu(g + d, negative_slope), p["a"]
-        )
+        g = jnp.take(s_l, block.cols.reshape(-1), axis=0).reshape(m, k, hf)
+        d = jnp.take(s_r, block.self_idx, axis=0).reshape(m, 1, hf)
+        pre = jax.nn.leaky_relu(g + d, negative_slope)  # [m, k, H*F']
+        # f-replicated per-head logits in ONE full-lane MXU product:
+        # (pre ∘ a_flat) @ blockdiag(1_{f×f}) puts Σ_f pre·a of head h in
+        # every lane of head h — no [m,k,H] or [m,k,H,F] narrow/4-D tensor
+        # (the 16x lane-padding trap, ops/gat.py round-2 profile)
+        ones_bd = jnp.kron(jnp.eye(heads, dtype=pre.dtype),
+                           jnp.ones((fo, fo), pre.dtype))
+        e = jnp.dot(pre * p["a"].reshape(-1), ones_bd,
+                    preferred_element_type=pre.dtype)  # [m, k, H*F'] f-rep
         valid = (block.weights > 0)[..., None]  # [m, k, 1]
         e = jnp.where(valid, e, -jnp.inf)
         emax = e.max(axis=1, keepdims=True)
         emax = jnp.where(jnp.isfinite(emax), emax, 0.0)
         ex = jnp.exp(e - emax) * valid
         denom = jnp.maximum(ex.sum(axis=1, keepdims=True), 1e-16)
-        alpha = ex / denom  # [m, k, heads]
-        out = (g * alpha[..., None]).sum(axis=1)  # [m, heads, fo]
+        alpha = ex / denom  # [m, k, H*F'] f-replicated
+        out = (g * alpha).sum(axis=1)  # [m, H*F'] — full-lane throughout
         # isolated nodes (no valid neighbors) keep their own transform
-        own = jnp.take(s_l, block.self_idx, axis=0).reshape(m, heads, fo)
+        own = jnp.take(s_l, block.self_idx, axis=0)
         has = valid.any(axis=1)  # [m, 1]
-        out = jnp.where(has[..., None], out, own)
+        out = jnp.where(has, out, own)
         if i < n_layers - 1:
-            h = out.reshape(m, heads * fo)
+            h = out
             if "b" in p:
                 h = h + p["b"]
             h = jax.nn.elu(h)
         else:
-            h = out.mean(axis=1)
+            h = out.reshape(m, heads, fo).mean(axis=1)
             if "b" in p:
                 h = h + p["b"]
             if final_activation is not None:
@@ -391,14 +396,21 @@ def sampled_gat_forward(
     n_layers = len(params_list)
     for i, (p, block) in enumerate(zip(params_list, batch.blocks)):
         heads, fo = p["a_src"].shape
+        hf = heads * fo
         m, k = block.cols.shape
-        s = jnp.dot(h, p["w"]).reshape(h.shape[0], heads, fo)
-        lsrc = jnp.einsum("nhf,hf->nh", s, p["a_src"])
-        ldst = jnp.einsum("nhf,hf->nh", s, p["a_dst"])
+        s2 = jnp.dot(h, p["w"])  # [n_in, H*F']
+        s3 = s2.reshape(h.shape[0], heads, fo)
+        # f-replicated node logits (tiny [n_in, H*F'] tensors) so every
+        # per-slot tensor below is full-lane — the round-2 64-lane lesson
+        # (ops/gat.py: gat_conv_ell_onepass); previously the [m, K, H] and
+        # [m, K, H, F'] intermediates paid 16x lane padding at H=8
+        rep = lambda t: jnp.repeat(t, fo, axis=-1)
+        lsrc = rep(jnp.einsum("nhf,hf->nh", s3, p["a_src"]))
+        ldst = rep(jnp.einsum("nhf,hf->nh", s3, p["a_dst"]))
         # per-slot logits: neighbors' source logits + the output node's own
         # destination logit (the node itself sits at block.self_idx)
         e = jax.nn.leaky_relu(
-            jnp.take(lsrc, block.cols.reshape(-1), axis=0).reshape(m, k, heads)
+            jnp.take(lsrc, block.cols.reshape(-1), axis=0).reshape(m, k, hf)
             + jnp.take(ldst, block.self_idx, axis=0)[:, None, :],
             negative_slope,
         )
@@ -408,20 +420,20 @@ def sampled_gat_forward(
         emax = jnp.where(jnp.isfinite(emax), emax, 0.0)
         ex = jnp.exp(e - emax) * valid
         denom = jnp.maximum(ex.sum(axis=1, keepdims=True), 1e-16)
-        alpha = ex / denom  # [m, k, heads]; rows with no valid slots -> 0
-        g = jnp.take(s, block.cols.reshape(-1), axis=0).reshape(m, k, heads, fo)
-        out = (g * alpha[..., None]).sum(axis=1)  # [m, heads, fo]
+        alpha = ex / denom  # [m, k, H*F'] f-replicated; no-valid rows -> 0
+        g = jnp.take(s2, block.cols.reshape(-1), axis=0).reshape(m, k, hf)
+        out = (g * alpha).sum(axis=1)  # [m, H*F'] — full-lane throughout
         # isolated nodes (no valid neighbors) keep their own transform
-        own = jnp.take(s, block.self_idx, axis=0)
+        own = jnp.take(s2, block.self_idx, axis=0)
         has = valid.any(axis=1)  # [m, 1]
-        out = jnp.where(has[..., None], out, own)
+        out = jnp.where(has, out, own)
         if i < n_layers - 1:
-            h = out.reshape(m, heads * fo)
+            h = out
             if "b" in p:
                 h = h + p["b"]
             h = jax.nn.elu(h)
         else:
-            h = out.mean(axis=1)
+            h = out.reshape(m, heads, fo).mean(axis=1)
             if "b" in p:
                 h = h + p["b"]
             if final_activation is not None:

@@ -122,15 +122,18 @@ class DistGATConv:
                 src_loc, src_rem = s2_loc, s2_halo
 
                 def logits(s_tab, senders, receivers, valid):
-                    # recv_tab = s_r2 [S, h*f]; a · leaky_relu(s_l[u]+s_r[v])
+                    # recv_tab = s_r2 [S, h*f]; a · leaky_relu(s_l[u]+s_r[v]).
+                    # The per-head contraction runs as ONE flat [E, h*f] @
+                    # [h*f, h] matmul (kron sum-selector) instead of an
+                    # einsum over an [E, h, f] tensor whose trailing f=8
+                    # pays 16x lane padding (the round-2 64-lane lesson).
                     g = jnp.take(s_tab, senders, axis=0)
                     d = jnp.take(recv_tab, receivers, axis=0)
-                    ne = g.shape[0]
-                    e = jnp.einsum(
-                        "ehf,hf->eh",
-                        jax.nn.leaky_relu(g + d, slope).reshape(ne, h, f),
-                        a_vec,
-                    )
+                    pre = jax.nn.leaky_relu(g + d, slope)  # [E, h*f]
+                    ksel = jnp.kron(jnp.eye(h, dtype=pre.dtype),
+                                    jnp.ones((f, 1), pre.dtype))
+                    e = jnp.dot(pre * a_vec.reshape(-1), ksel,
+                                preferred_element_type=pre.dtype)  # [E, h]
                     return jnp.where(valid > 0, e, -jnp.inf)
             else:
                 s2_halo, lsrc_halo = halo[:, : h * f], halo[:, h * f :]
@@ -165,8 +168,9 @@ class DistGATConv:
             def aggregate(ex, s2_tab, senders, receivers):
                 alpha = ex / jnp.take(denom, receivers, axis=0)  # [E, h]
                 g = jnp.take(s2_tab, senders, axis=0)  # [E, h*f]
-                ne = g.shape[0]
-                w = (g.reshape(ne, h, f) * alpha[..., None]).reshape(ne, h * f)
+                # f-replicate alpha and multiply FLAT: the [E, h, f] form's
+                # trailing f=8 pays 16x lane padding (round-2 lesson)
+                w = g * jnp.repeat(alpha, f, axis=-1)
                 return jax.ops.segment_sum(w, receivers, num_segments=S)
 
             return aggregate(ex_loc, s2_loc, loc_s, loc_r) + aggregate(
