@@ -128,12 +128,19 @@ ELL_CHUNK_BUDGET_ELEMS = 1 << 30
 
 def _bucket_partial(x: jax.Array, cols: jax.Array, vals: jax.Array, k: int) -> jax.Array:
     """One bucket's per-virtual-row partial sums ``[nb, H]`` from FLAT
-    ``[nb·k]`` cols/vals (see the ELL docstring for why flat)."""
+    ``[nb·k]`` cols/vals (see the ELL docstring for why flat).
+
+    Compute SHAPE stays 3-D ``[nb, k, h]`` with the value multiply after
+    the reshape: the flat ``take(x, cols) * vals[:, None]`` form measured
+    2.0x SLOWER at ogbn-products scale (2676 vs 1336 ms — the elementwise
+    consumer on the [nb·k, H] gather broke XLA's gather+reduce fusion and
+    materialized both buffers); reshape-first reproduces the fused r2 form
+    while the STORAGE stays tile-free."""
     h = x.shape[1]
     nb = cols.shape[0] // k
     if cols.shape[0] * h <= ELL_CHUNK_BUDGET_ELEMS:
-        g = jnp.take(x, cols, axis=0) * vals[:, None]  # [nb*k, H]
-        return g.reshape(nb, k, h).sum(axis=1)
+        g = jnp.take(x, cols, axis=0).reshape(nb, k, h)
+        return (g * vals.reshape(nb, k)[..., None]).sum(axis=1)
     rows_per_chunk = max(1, ELL_CHUNK_BUDGET_ELEMS // (k * h))
     n_chunks = -(-nb // rows_per_chunk)
     pad = n_chunks * rows_per_chunk - nb
@@ -142,8 +149,8 @@ def _bucket_partial(x: jax.Array, cols: jax.Array, vals: jax.Array, k: int) -> j
 
     def body(cv):
         c, v = cv
-        g = jnp.take(x, c, axis=0) * v[:, None]
-        return g.reshape(rows_per_chunk, k, h).sum(axis=1)
+        g = jnp.take(x, c, axis=0).reshape(rows_per_chunk, k, h)
+        return (g * v.reshape(rows_per_chunk, k)[..., None]).sum(axis=1)
 
     out = jax.lax.map(body, (cols_p, vals_p))
     return out.reshape(n_chunks * rows_per_chunk, h)[:nb]
@@ -254,8 +261,8 @@ def split_ell_spmm_raw(sell: SplitELL, x: jax.Array) -> jax.Array:
     for ell, src in ((sell.hub, x_hub), (sell.rest, x)):
         for cols, vals, rws, k in zip(ell.cols, ell.vals, ell.rows, ell.ks):
             nb = rws.shape[0]
-            g = jnp.take(src, cols, axis=0) * vals[:, None]
-            partials.append(g.reshape(nb, k, x.shape[1]).sum(axis=1))
+            g = jnp.take(src, cols, axis=0).reshape(nb, k, x.shape[1])
+            partials.append((g * vals.reshape(nb, k)[..., None]).sum(axis=1))
             vrows.append(rws)
     p = jnp.concatenate(partials, axis=0)
     r = jnp.concatenate(vrows, axis=0)
@@ -296,8 +303,8 @@ def ell_apply_arrays(cols, vals, rows, n_rows: int, x: jax.Array) -> jax.Array:
     for c, v, r in zip(cols, vals, rows):
         nb = r.shape[0]
         k = c.shape[0] // nb
-        g = jnp.take(x, c, axis=0) * v[:, None]
-        partials.append(g.reshape(nb, k, x.shape[1]).sum(axis=1))
+        g = jnp.take(x, c, axis=0).reshape(nb, k, x.shape[1])
+        partials.append((g * v.reshape(nb, k)[..., None]).sum(axis=1))
         vrows.append(r)
     p = jnp.concatenate(partials, axis=0)
     r = jnp.concatenate(vrows, axis=0)
