@@ -280,6 +280,28 @@ def test_train_fullgraph_gat():
     assert dt > 0
 
 
+def test_train_fullgraph_clustered_convergence():
+    """--clustered drives the convergence pipeline (community labels, LP
+    ordering, hybrid layout, early stopping) and actually learns."""
+    from pygcn_tpu.apps import train_fullgraph
+
+    r = train_fullgraph.main([
+        "--clustered", "--n_nodes", "800", "--avg_degree", "8",
+        "--feat_dim", "16", "--hidden", "16", "--n_classes", "4",
+        "--max_epochs", "40", "--patience", "6", "--layers", "2",
+    ])
+    assert r["val"] > 0.5 and np.isfinite(r["test"]), r
+
+    # GAT variant exercises the tile/slot routing decision end-to-end
+    r = train_fullgraph.main([
+        "--clustered", "--n_nodes", "800", "--avg_degree", "8",
+        "--feat_dim", "16", "--hidden", "4", "--n_classes", "4",
+        "--max_epochs", "15", "--patience", "5",
+        "--model", "gat", "--gat_heads", "2",
+    ])
+    assert np.isfinite(r["val"]), r
+
+
 def test_train_fullgraph_extension_models():
     from pygcn_tpu.apps import train_fullgraph
 
