@@ -119,6 +119,14 @@ def build_col_panel_ell(
 # transient gather chunks must stay ~1 GiB for the whole op to fit HBM.
 COLPANEL_CHUNK_BUDGET_ELEMS = 1 << 28
 
+# A/B flag: wrap each panel's x-slice in an optimization_barrier so XLA
+# MATERIALIZES it as a fresh small buffer before the gathers. Tests whether
+# the small-table gather rate needs a genuinely small table or whether a
+# sliced VIEW of the big feature matrix already qualifies (the gather
+# descriptor may still carry the parent table's bounds). Measured on the
+# v5e — see PERF_NOTES "products composition sweep".
+MATERIALIZE_PANEL_SLICES = False
+
 
 def _flat_bucket_partial(x, cols, vals, k: int) -> jax.Array:
     """Per-virtual-row partials ``[nb, H]`` from flat ``[nb*k]`` cols/vals."""
@@ -164,6 +172,8 @@ def col_panel_spmm_raw(pe: ColPanelELL, x: jax.Array) -> jax.Array:
     for fb, s, w in zip(pe.panels, pe.starts, pe.widths):
         # static slice: the panel's entire gather table
         xs = jax.lax.slice_in_dim(x, s, s + w)
+        if MATERIALIZE_PANEL_SLICES:
+            xs = jax.lax.optimization_barrier(xs)
         for cols, vals, rows, k in zip(fb.cols, fb.vals, fb.rows, fb.ks):
             part = _flat_bucket_partial(xs, cols, vals, k)
             p = jax.lax.dynamic_update_slice(p, part, (ofs, 0))

@@ -51,6 +51,16 @@ def main():
                     help="measurement names to skip (ell, cp16, cp32, cp64, "
                     "hyb16, hyb32, hyb64)")
     ap.add_argument("--only", nargs="*", default=None)
+    ap.add_argument("--residual_ks", type=int, nargs="*", default=None,
+                    help="ELL bucket sizes for the hybrid residual (fewer "
+                    "buckets -> smaller HLO; the fused hybrid+colpanel "
+                    "program at 7 buckets exceeds the tunnel compile "
+                    "helper's memory cap)")
+    ap.add_argument("--unfused", action="store_true",
+                    help="time the hybrid composite as two separate jitted "
+                    "calls (tiles; residual) chained at the Python level - "
+                    "a zero-fusion upper bound that dodges the compile cap; "
+                    "includes 2 tunnel dispatches per iteration")
     args = ap.parse_args()
 
     import jax
@@ -120,9 +130,12 @@ def main():
     # --- ColPanelELL width sweep ------------------------------------------
     from pygcn_tpu.ops.colpanel import build_col_panel_ell, col_panel_spmm_raw
 
-    for name, pw in (("cp16", 16384), ("cp32", 32768), ("cp64", 65536)):
+    for name, pw in (("cp16", 16384), ("cp32", 32768), ("cp64", 65536),
+                     ("cp32b", 32768), ("cp64b", 65536)):
         if not want(name):
             continue
+        import pygcn_tpu.ops.colpanel as _cpmod
+        _cpmod.MATERIALIZE_PANEL_SLICES = name.endswith("b")
         t0 = time.time()
         with jax.default_device(cpu):
             cp = build_col_panel_ell(adj, panel_width=pw)
@@ -143,17 +156,43 @@ def main():
         if not want(name):
             continue
         t0 = time.time()
+        ks = tuple(args.residual_ks) if args.residual_ks else (4, 8, 16, 32, 64, 128, 256)
         with jax.default_device(cpu):
             hy = build_hybrid(adj, min_edges_per_tile=64,
                               tile_budget_bytes=1 << 30,
-                              residual="colpanel", panel_width=pw)
+                              residual="colpanel", panel_width=pw, ks=ks)
         hy = jax.device_put(hy)
         jax.block_until_ready(hy.ell.panels[0].cols)
         log(stage=f"{name}_built", host_s=time.time() - t0,
             tile_edges=hy.tile_edges, tile_frac=hy.tile_edges / n_edges,
             tiles=int(hy.bcsr.data.shape[0]) if hy.bcsr is not None else 0)
-        measure(name, lambda v, hh: hybrid_spmm_raw(hh, v), x, hy, n_edges,
-                {"panel_width": pw, "tile_frac": hy.tile_edges / n_edges})
+        if args.unfused:
+            import pygcn_tpu.ops.colpanel as _cpmod
+            _cpmod.MATERIALIZE_PANEL_SLICES = True
+            from pygcn_tpu.ops.colpanel import col_panel_spmm_raw as _cp
+            from pygcn_tpu.ops.pallas.bcsr_spmm import bcsr_spmm as _bc
+
+            t_tiles = time_chained(
+                lambda v, b: _bc(b, v, n_rows=n), x, iters=ITERS, reps=2,
+                args=(hy.bcsr,))
+            log(measurement=name + "_tiles_only", t_ms=t_tiles * 1e3,
+                tile_edges=hy.tile_edges,
+                edges_per_s=hy.tile_edges / t_tiles)
+            t_res = time_chained(
+                lambda v, c: _cp(c, v), x, iters=ITERS, reps=2,
+                args=(hy.ell,))
+            resid_edges = n_edges - hy.tile_edges
+            log(measurement=name + "_resid_only", t_ms=t_res * 1e3,
+                resid_edges=resid_edges, edges_per_s=resid_edges / t_res)
+            t = t_tiles + t_res
+            log(measurement=name + "_sum_of_parts", t_ms=t * 1e3,
+                edges_per_s=n_edges / t,
+                note="two jitted calls measured separately; the fused "
+                     "program exceeds the tunnel compile helper's memory",
+                panel_width=pw, tile_frac=hy.tile_edges / n_edges)
+        else:
+            measure(name, lambda v, hh: hybrid_spmm_raw(hh, v), x, hy, n_edges,
+                    {"panel_width": pw, "tile_frac": hy.tile_edges / n_edges})
         del hy
         gc.collect()
 
