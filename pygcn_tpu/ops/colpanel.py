@@ -119,13 +119,13 @@ def build_col_panel_ell(
 # transient gather chunks must stay ~1 GiB for the whole op to fit HBM.
 COLPANEL_CHUNK_BUDGET_ELEMS = 1 << 28
 
-# A/B flag: wrap each panel's x-slice in an optimization_barrier so XLA
-# MATERIALIZES it as a fresh small buffer before the gathers. Tests whether
-# the small-table gather rate needs a genuinely small table or whether a
-# sliced VIEW of the big feature matrix already qualifies (the gather
-# descriptor may still carry the parent table's bounds). Measured on the
-# v5e — see PERF_NOTES "products composition sweep".
-MATERIALIZE_PANEL_SLICES = False
+# Wrap each panel's x-slice in an optimization_barrier so XLA MATERIALIZES
+# it as a fresh small buffer before the gathers. The table-size gather
+# speedup needs a genuinely small table — gathering from a slice VIEW of
+# the big matrix still runs at (near) the big-table rate. Measured on the
+# v5e at products scale: 588 -> 370 ms (1.59x) for ~2 ms of slice copies
+# (PERF_NOTES "products round-3 conclusion"). Flag kept for A/B.
+MATERIALIZE_PANEL_SLICES = True
 
 
 def _flat_bucket_partial(x, cols, vals, k: int) -> jax.Array:
