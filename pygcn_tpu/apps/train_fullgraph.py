@@ -178,7 +178,9 @@ def main(argv=None):
                       f"({graph.hybrid.tile_edges / graph.n_edges:.0%} of "
                       "edges on MXU tiles)")
 
-        def forward(params, x):
+        aux = (graph, edge_map, tiles_t)
+
+        def forward(params, x, graph, edge_map, tiles_t):
             return gat.apply(params, x, graph, edge_map=edge_map,
                              hybrid_tiles=hybrid_tiles, tiles_t=tiles_t)
     elif args.model in ("sage", "gin", "appnp"):
@@ -192,7 +194,9 @@ def main(argv=None):
         model = cls(args.feat_dim, args.hidden, args.n_classes)
         params = model.init(key)
 
-        def forward(params, x):
+        aux = (graph,)
+
+        def forward(params, x, graph):
             return model.apply(params, x, graph)
     else:
         params = []
@@ -201,38 +205,46 @@ def main(argv=None):
             params.append({"w": tinit.graphconv_weight(kw, fi, fo),
                            "b": tinit.graphconv_bias(kb, fo)})
 
-        def layer(p, h, is_last):
+        def layer(p, h, graph, is_last):
             h = spmm(graph, jnp.dot(h, p["w"])) + p["b"]
             return h if is_last else jax.nn.relu(h)
 
         if args.remat:
-            layer = jax.checkpoint(layer, static_argnums=(2,))
+            layer = jax.checkpoint(layer, static_argnums=(3,))
 
-        def forward(params, x):
+        aux = (graph,)
+
+        def forward(params, x, graph):
             h = x
             for i, p in enumerate(params):
-                h = layer(p, h, i == len(params) - 1)
+                h = layer(p, h, graph, i == len(params) - 1)
             return jax.nn.log_softmax(h, axis=1)
 
     tx = adam_l2(args.lr, args.weight_decay)
     opt_state = tx.init(params)
 
-    def loss_fn(params, x, labels, mask):
-        logp = forward(params, x)
+    # graph layouts/edge maps ride as jit ARGUMENTS: closed-over device
+    # arrays become jaxpr constants, which the axon tunnel's remote-compile
+    # rejects above ~200 MB (HTTP 413 — hit by the GAT hybrid layouts)
+    def loss_fn(params, x, labels, mask, *aux_v):
+        logp = forward(params, x, *aux_v)
         per_node = -jnp.take_along_axis(logp, labels[:, None], axis=1)[:, 0]
         return (per_node * mask).sum() / mask.sum()
 
     @jax.jit
-    def step(params, opt_state, x, labels, mask):
-        loss, grads = jax.value_and_grad(loss_fn)(params, x, labels, mask)
+    def step(params, opt_state, x, labels, mask, *aux_v):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            params, x, labels, mask, *aux_v)
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
+    predict_jit = jax.jit(forward)
+
     return _time_and_report(
         args, graph, data,
-        run_step=lambda s: step(s[0], s[1], x, labels, mask),
+        run_step=lambda s: step(s[0], s[1], x, labels, mask, *aux),
         state=(params, opt_state),
-        predict=lambda s: forward(s[0], x),
+        predict=lambda s: predict_jit(s[0], x, *aux),
     )
 
 
