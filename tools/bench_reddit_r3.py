@@ -47,7 +47,6 @@ def main():
     import jax.numpy as jnp
 
     from pygcn_tpu.graph.datasets import chung_lu_graph
-    from pygcn_tpu.graph.graph import Graph
     from pygcn_tpu.graph.transform import sym_normalize, symmetrize_max
     from pygcn_tpu.nn import init as tinit
     from pygcn_tpu.ops.sampling import (
@@ -58,15 +57,13 @@ def main():
     cpu = jax.devices("cpu")[0]
     t0 = time.time()
     adj = sym_normalize(symmetrize_max(chung_lu_graph(N, AVG_DEG / 2, seed=0)))
-    with jax.default_device(cpu):
-        g = Graph.from_scipy(adj, is_symmetric=True, build_dense=False,
-                             build_bcsr=False, build_ell=False)
-    sampler = NeighborSampler(g, FANOUTS, seed=0)
+    n_edges_total = int(adj.nnz)
+    sampler = NeighborSampler(adj, FANOUTS, seed=0)
     rng = np.random.default_rng(0)
     seeds = rng.choice(N, BATCH, replace=False).astype(np.int32)
     t1 = time.time()
     batch = sampler.sample(seeds, pad=True)
-    log(stage="built", n_edges=g.n_edges, host_graph_s=t1 - t0,
+    log(stage="built", n_edges=n_edges_total, host_graph_s=t1 - t0,
         host_sample_ms=(time.time() - t1) * 1e3,
         n_input=int(batch.input_nodes.size))
 
