@@ -37,6 +37,15 @@ def _interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
+# Emit per-tile product blocks (fresh output every grid step, merged by one
+# XLA segment_sum) instead of read-modify-write accumulation into per-block-
+# row outputs. The revisiting pattern serializes at low tile occupancy —
+# measured 41 us/tile at products scale (~1 tile/block-row) vs ~0.4 us/tile
+# on dense-ish graphs where many consecutive tiles share a block row.
+# Streaming costs one [T·tm, H] intermediate + segment_sum. Flag for A/B.
+BCSR_STREAM = True
+
+
 def _kernel(br_ref, bc_ref, data_ref, x_ref, out_ref):
     i = pl.program_id(1)
     prev = br_ref[jnp.maximum(i - 1, 0)]
@@ -47,6 +56,12 @@ def _kernel(br_ref, bc_ref, data_ref, x_ref, out_ref):
         out_ref[...] = jnp.zeros_like(out_ref)
 
     out_ref[...] += jnp.dot(
+        data_ref[0], x_ref[...], preferred_element_type=out_ref.dtype
+    )
+
+
+def _kernel_stream(br_ref, bc_ref, data_ref, x_ref, out_ref):
+    out_ref[0] = jnp.dot(
         data_ref[0], x_ref[...], preferred_element_type=out_ref.dtype
     )
 
@@ -63,6 +78,35 @@ def bcsr_spmm(bcsr: BCSR, x: jax.Array, *, n_rows: int) -> jax.Array:
     x_pad_cols = hn * TN - h
     if x_pad_rows or x_pad_cols:
         x = jnp.pad(x, ((0, x_pad_rows), (0, x_pad_cols)))
+
+    if BCSR_STREAM:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(hn, t),
+            in_specs=[
+                pl.BlockSpec((1, tm, tk), lambda j, i, br, bc: (i, 0, 0)),
+                pl.BlockSpec((tk, TN), lambda j, i, br, bc: (bc[i], j)),
+            ],
+            out_specs=pl.BlockSpec((1, tm, TN), lambda j, i, br, bc: (i, 0, j)),
+        )
+        parts = pl.pallas_call(
+            _kernel_stream,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((t, tm, hn * TN), x.dtype),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * t * tm * tk * hn * TN,
+                bytes_accessed=(t * tm * tk + t * tk * TN + t * tm * hn * TN) * 4,
+                transcendentals=0,
+            ),
+            interpret=_interpret(),
+        )(bcsr.block_rows, bcsr.block_cols, bcsr.data, x)
+        seg = (bcsr.block_rows[:, None] * tm
+               + jax.lax.broadcasted_iota(jnp.int32, (t, tm), 1)).reshape(-1)
+        out = jax.ops.segment_sum(
+            parts.reshape(t * tm, hn * TN), seg,
+            num_segments=bcsr.n_block_rows * tm, indices_are_sorted=True,
+        )
+        return out[:n_rows, :h]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # block_rows, block_cols

@@ -105,9 +105,20 @@ def _leaky(x, slope):
 # forward kernel
 # --------------------------------------------------------------------- #
 
+# Emit PER-TILE partials (fresh output block every grid step) and do the
+# cross-tile flash merge in XLA, instead of read-modify-write accumulation
+# into per-block-row outputs. The revisiting-output pattern serializes when
+# block rows change nearly every step (measured 15-41 us/tile at ~1-6
+# tiles/block-row vs the ~2 us compute estimate): each step must read the
+# current output block, combine, and write it back before the next can
+# start. Per-tile outputs stream (double-buffered writes), and the XLA
+# merge is 3 segment ops over [T·tm, ...] tensors keyed by each tile's
+# global receiver rows. Flag for A/B.
+TILE_REVISIT = False
 
-def _fwd_kernel(h, f, slope, br_ref, bc_ref, mask_ref, lsrcT_ref, ldst_ref,
-                s_ref, num_ref, den_ref, max_ref):
+
+def _fwd_kernel_revisit(h, f, slope, br_ref, bc_ref, mask_ref, lsrcT_ref,
+                        ldst_ref, s_ref, num_ref, den_ref, max_ref):
     i = pl.program_id(0)
     prev = br_ref[jnp.maximum(i - 1, 0)]
     first_of_row = jnp.logical_or(i == 0, br_ref[i] != prev)
@@ -139,12 +150,65 @@ def _fwd_kernel(h, f, slope, br_ref, bc_ref, mask_ref, lsrcT_ref, ldst_ref,
         max_ref[:, hh : hh + 1] = m_new
 
 
+def _fwd_kernel_stream(h, f, slope, br_ref, bc_ref, mask_ref, lsrcT_ref,
+                       ldst_ref, s_ref, num_ref, den_ref, max_ref):
+    """Per-tile partials: local max over the tile's own edges, exp against
+    it, weighted sum — no cross-tile state, every output block fresh."""
+    mask = mask_ref[0] != 0  # [tm, tk]
+    for hh in range(h):
+        lsrc = lsrcT_ref[hh : hh + 1, :]  # [1, tk]
+        ldst = ldst_ref[:, hh : hh + 1]  # [tm, 1]
+        e = _leaky(ldst + lsrc, slope)  # [tm, tk]
+        neg = jnp.where(mask, e, NEG)
+        tmax = jnp.max(neg, axis=1, keepdims=True)  # [tm, 1]
+        shift = jnp.maximum(tmax, NEG)  # == tmax; NEG rows give exp(0)*mask=0
+        ex = jnp.where(mask, jnp.exp(neg - shift), 0.0)
+        den_ref[0, :, hh : hh + 1] = jnp.sum(ex, axis=1, keepdims=True)
+        max_ref[0, :, hh : hh + 1] = tmax
+        num_ref[0, :, hh * f : (hh + 1) * f] = jnp.dot(
+            ex, s_ref[:, hh * f : (hh + 1) * f],
+            preferred_element_type=jnp.float32,
+        )
+
+
 def _run_fwd(bcsr: BCSR, lsrcT, ldst, s2, h: int, f: int, slope: float):
     tm, tk = bcsr.tm, bcsr.tk
     t = bcsr.data.shape[0]
     n_rows_pad = bcsr.n_block_rows * tm
-    n_cols_pad = bcsr.n_block_cols * tk
     hf = h * f
+
+    if TILE_REVISIT:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(t,),
+            in_specs=[
+                pl.BlockSpec((1, tm, tk), lambda i, br, bc: (i, 0, 0)),
+                pl.BlockSpec((h, tk), lambda i, br, bc: (0, bc[i])),
+                pl.BlockSpec((tm, h), lambda i, br, bc: (br[i], 0)),
+                pl.BlockSpec((tk, hf), lambda i, br, bc: (bc[i], 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((tm, hf), lambda i, br, bc: (br[i], 0)),
+                pl.BlockSpec((tm, h), lambda i, br, bc: (br[i], 0)),
+                pl.BlockSpec((tm, h), lambda i, br, bc: (br[i], 0)),
+            ],
+        )
+        num, den, mx = pl.pallas_call(
+            functools.partial(_fwd_kernel_revisit, h, f, slope),
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((n_rows_pad, hf), jnp.float32),
+                jax.ShapeDtypeStruct((n_rows_pad, h), jnp.float32),
+                jax.ShapeDtypeStruct((n_rows_pad, h), jnp.float32),
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=t * h * tm * tk * (8 + 2 * f),
+                bytes_accessed=(t * (tm * tk + tk * hf + 2 * tm * hf)) * 4,
+                transcendentals=2 * t * h * tm * tk,
+            ),
+            interpret=_interpret(),
+        )(bcsr.block_rows, bcsr.block_cols, bcsr.data, lsrcT, ldst, s2)
+        return num, den, mx
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -156,26 +220,40 @@ def _run_fwd(bcsr: BCSR, lsrcT, ldst, s2, h: int, f: int, slope: float):
             pl.BlockSpec((tk, hf), lambda i, br, bc: (bc[i], 0)),
         ],
         out_specs=[
-            pl.BlockSpec((tm, hf), lambda i, br, bc: (br[i], 0)),
-            pl.BlockSpec((tm, h), lambda i, br, bc: (br[i], 0)),
-            pl.BlockSpec((tm, h), lambda i, br, bc: (br[i], 0)),
+            pl.BlockSpec((1, tm, hf), lambda i, br, bc: (i, 0, 0)),
+            pl.BlockSpec((1, tm, h), lambda i, br, bc: (i, 0, 0)),
+            pl.BlockSpec((1, tm, h), lambda i, br, bc: (i, 0, 0)),
         ],
     )
-    num, den, mx = pl.pallas_call(
-        functools.partial(_fwd_kernel, h, f, slope),
+    num_t, den_t, max_t = pl.pallas_call(
+        functools.partial(_fwd_kernel_stream, h, f, slope),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((n_rows_pad, hf), jnp.float32),
-            jax.ShapeDtypeStruct((n_rows_pad, h), jnp.float32),
-            jax.ShapeDtypeStruct((n_rows_pad, h), jnp.float32),
+            jax.ShapeDtypeStruct((t, tm, hf), jnp.float32),
+            jax.ShapeDtypeStruct((t, tm, h), jnp.float32),
+            jax.ShapeDtypeStruct((t, tm, h), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=t * h * tm * tk * (8 + 2 * f),
-            bytes_accessed=(t * (tm * tk + tk * hf + 2 * tm * hf)) * 4,
-            transcendentals=2 * t * h * tm * tk,
+            bytes_accessed=(t * (tm * tk + tk * hf + tm * hf + 2 * tm * h)) * 4,
+            transcendentals=t * h * tm * tk,
         ),
         interpret=_interpret(),
     )(bcsr.block_rows, bcsr.block_cols, bcsr.data, lsrcT, ldst, s2)
+    # cross-tile flash merge in XLA: segment ops keyed by each tile's
+    # global receiver rows (block_rows are sorted, so segments are sorted)
+    seg = (bcsr.block_rows[:, None] * tm
+           + jax.lax.broadcasted_iota(jnp.int32, (t, tm), 1)).reshape(-1)
+    max_flat = max_t.reshape(t * tm, h)
+    mx = jax.ops.segment_max(max_flat, seg, num_segments=n_rows_pad,
+                             indices_are_sorted=True)
+    shift = jnp.where(mx > -1e29, mx, 0.0)
+    scale = jnp.exp(max_flat - jnp.take(shift, seg, axis=0))  # [T*tm, h]
+    den = jax.ops.segment_sum(den_t.reshape(t * tm, h) * scale, seg,
+                              num_segments=n_rows_pad, indices_are_sorted=True)
+    scale_f = jnp.repeat(scale, f, axis=-1)  # [T*tm, hf]
+    num = jax.ops.segment_sum(num_t.reshape(t * tm, hf) * scale_f, seg,
+                              num_segments=n_rows_pad, indices_are_sorted=True)
     return num, den, mx
 
 
@@ -184,16 +262,21 @@ def _run_fwd(bcsr: BCSR, lsrcT, ldst, s2, h: int, f: int, slope: float):
 # --------------------------------------------------------------------- #
 
 
-def _bwd_dldst_kernel(h, f, slope, br_ref, bc_ref, mask_ref, lsrcT_ref,
-                      ldst_ref, s_ref, m_ref, dnum_ref, dden_ref, dldst_ref):
-    """Receiver-indexed gradient over row-sorted forward tiles."""
-    i = pl.program_id(0)
-    prev = br_ref[jnp.maximum(i - 1, 0)]
-    first_of_row = jnp.logical_or(i == 0, br_ref[i] != prev)
+def _bwd_dldst_kernel(h, f, slope, stream, br_ref, bc_ref, mask_ref,
+                      lsrcT_ref, ldst_ref, s_ref, m_ref, dnum_ref, dden_ref,
+                      dldst_ref):
+    """Receiver-indexed gradient over row-sorted forward tiles.
 
-    @pl.when(first_of_row)
-    def _():
-        dldst_ref[...] = jnp.zeros_like(dldst_ref)
+    ``stream=True`` writes per-tile partials (fresh block per step, merged
+    by an XLA segment_sum outside); ``False`` keeps the revisit pattern."""
+    if not stream:
+        i = pl.program_id(0)
+        prev = br_ref[jnp.maximum(i - 1, 0)]
+        first_of_row = jnp.logical_or(i == 0, br_ref[i] != prev)
+
+        @pl.when(first_of_row)
+        def _():
+            dldst_ref[...] = jnp.zeros_like(dldst_ref)
 
     mask = mask_ref[0] != 0
     for hh in range(h):
@@ -212,25 +295,29 @@ def _bwd_dldst_kernel(h, f, slope, br_ref, bc_ref, mask_ref, lsrcT_ref,
         )  # [tm, tk]
         de = p * (gdot + dden_ref[:, hh : hh + 1])
         de = de * jnp.where(pre >= 0, 1.0, slope)
-        dldst_ref[:, hh : hh + 1] += jnp.sum(de, axis=1, keepdims=True)
+        if stream:
+            dldst_ref[0, :, hh : hh + 1] = jnp.sum(de, axis=1, keepdims=True)
+        else:
+            dldst_ref[:, hh : hh + 1] += jnp.sum(de, axis=1, keepdims=True)
 
 
-def _bwd_sender_kernel(h, f, slope, br_ref, bc_ref, mask_ref, lsrc_ref,
-                       ldstT_ref, s_ref, mT_ref, dnum_ref, ddenT_ref,
-                       ds_ref, dlsrc_ref):
+def _bwd_sender_kernel(h, f, slope, stream, br_ref, bc_ref, mask_ref,
+                       lsrc_ref, ldstT_ref, s_ref, mT_ref, dnum_ref,
+                       ddenT_ref, ds_ref, dlsrc_ref):
     """Sender-indexed gradients over TRANSPOSE tiles (block rows = senders).
 
     For transpose tile i: rows u are senders, cols v are receivers; the
     forward edge is (u -> v) with logit ``leaky(lsrc[u] + ldst[v])``.
     """
-    i = pl.program_id(0)
-    prev = br_ref[jnp.maximum(i - 1, 0)]
-    first_of_row = jnp.logical_or(i == 0, br_ref[i] != prev)
+    if not stream:
+        i = pl.program_id(0)
+        prev = br_ref[jnp.maximum(i - 1, 0)]
+        first_of_row = jnp.logical_or(i == 0, br_ref[i] != prev)
 
-    @pl.when(first_of_row)
-    def _():
-        ds_ref[...] = jnp.zeros_like(ds_ref)
-        dlsrc_ref[...] = jnp.zeros_like(dlsrc_ref)
+        @pl.when(first_of_row)
+        def _():
+            ds_ref[...] = jnp.zeros_like(ds_ref)
+            dlsrc_ref[...] = jnp.zeros_like(dlsrc_ref)
 
     mask = mask_ref[0] != 0  # [tm(u), tk(v)]
     for hh in range(h):
@@ -242,9 +329,7 @@ def _bwd_sender_kernel(h, f, slope, br_ref, bc_ref, mask_ref, lsrc_ref,
         p = jnp.where(mask, jnp.exp(e - m), 0.0)  # [tm(u), tk(v)]
         dnum_h = dnum_ref[:, hh * f : (hh + 1) * f]  # [tk(v), F]
         # ds_u += sum_v p_uv * dnum_v
-        ds_ref[:, hh * f : (hh + 1) * f] += jnp.dot(
-            p, dnum_h, preferred_element_type=jnp.float32
-        )
+        dsv = jnp.dot(p, dnum_h, preferred_element_type=jnp.float32)
         gdot = jax.lax.dot_general(
             s_ref[:, hh * f : (hh + 1) * f],  # [tm(u), F]
             dnum_h,  # [tk(v), F]
@@ -253,7 +338,13 @@ def _bwd_sender_kernel(h, f, slope, br_ref, bc_ref, mask_ref, lsrc_ref,
         )  # [tm, tk]
         de = p * (gdot + ddenT_ref[hh : hh + 1, :])
         de = de * jnp.where(pre >= 0, 1.0, slope)
-        dlsrc_ref[:, hh : hh + 1] += jnp.sum(de, axis=1, keepdims=True)
+        dlv = jnp.sum(de, axis=1, keepdims=True)
+        if stream:
+            ds_ref[0, :, hh * f : (hh + 1) * f] = dsv
+            dlsrc_ref[0, :, hh : hh + 1] = dlv
+        else:
+            ds_ref[:, hh * f : (hh + 1) * f] += dsv
+            dlsrc_ref[:, hh : hh + 1] += dlv
 
 
 # --------------------------------------------------------------------- #
@@ -320,6 +411,13 @@ def _tile_vjp_bwd(meta, res, cts):
     dden_p = padded(dden, n_pad)
 
     t = bcsr.data.shape[0]
+    stream = not TILE_REVISIT
+    out_spec1 = (pl.BlockSpec((1, tm, h), lambda i, br, bc: (i, 0, 0))
+                 if stream else
+                 pl.BlockSpec((tm, h), lambda i, br, bc: (br[i], 0)))
+    out_shape1 = (jax.ShapeDtypeStruct((t, tm, h), jnp.float32)
+                  if stream else
+                  jax.ShapeDtypeStruct((bcsr.n_block_rows * tm, h), jnp.float32))
     grid1 = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(t,),
@@ -332,12 +430,12 @@ def _tile_vjp_bwd(meta, res, cts):
             pl.BlockSpec((tm, hf), lambda i, br, bc: (br[i], 0)),
             pl.BlockSpec((tm, h), lambda i, br, bc: (br[i], 0)),
         ],
-        out_specs=pl.BlockSpec((tm, h), lambda i, br, bc: (br[i], 0)),
+        out_specs=out_spec1,
     )
     dldst = pl.pallas_call(
-        functools.partial(_bwd_dldst_kernel, h, f, slope),
+        functools.partial(_bwd_dldst_kernel, h, f, slope, stream),
         grid_spec=grid1,
-        out_shape=jax.ShapeDtypeStruct((bcsr.n_block_rows * tm, h), jnp.float32),
+        out_shape=out_shape1,
         cost_estimate=pl.CostEstimate(
             flops=t * h * tm * tk * (10 + 2 * f),
             bytes_accessed=(t * (tm * tk + tk * hf + 2 * tm * hf)) * 4,
@@ -345,7 +443,14 @@ def _tile_vjp_bwd(meta, res, cts):
         ),
         interpret=_interpret(),
     )(bcsr.block_rows, bcsr.block_cols, bcsr.data, lsrc_p.T, ldst_p, s2_p,
-      m_p, dnum_p, dden_p)[:n]
+      m_p, dnum_p, dden_p)
+    if stream:
+        seg = (bcsr.block_rows[:, None] * tm
+               + jax.lax.broadcasted_iota(jnp.int32, (t, tm), 1)).reshape(-1)
+        dldst = jax.ops.segment_sum(
+            dldst.reshape(t * tm, h), seg,
+            num_segments=bcsr.n_block_rows * tm, indices_are_sorted=True)
+    dldst = dldst[:n]
 
     tt = bcsr_t.data.shape[0]
     tmt, tkt = bcsr_t.tm, bcsr_t.tk
@@ -357,6 +462,20 @@ def _tile_vjp_bwd(meta, res, cts):
     m_t = padded(mx, n_pad_t)
     dnum_t = padded(dnum, n_pad_t)
     dden_t = padded(dden, n_pad_t)
+    out_specs2 = ([
+        pl.BlockSpec((1, tmt, hf), lambda i, br, bc: (i, 0, 0)),
+        pl.BlockSpec((1, tmt, h), lambda i, br, bc: (i, 0, 0)),
+    ] if stream else [
+        pl.BlockSpec((tmt, hf), lambda i, br, bc: (br[i], 0)),
+        pl.BlockSpec((tmt, h), lambda i, br, bc: (br[i], 0)),
+    ])
+    out_shapes2 = ([
+        jax.ShapeDtypeStruct((tt, tmt, hf), jnp.float32),
+        jax.ShapeDtypeStruct((tt, tmt, h), jnp.float32),
+    ] if stream else [
+        jax.ShapeDtypeStruct((bcsr_t.n_block_rows * tmt, hf), jnp.float32),
+        jax.ShapeDtypeStruct((bcsr_t.n_block_rows * tmt, h), jnp.float32),
+    ])
     grid2 = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(tt,),
@@ -369,18 +488,12 @@ def _tile_vjp_bwd(meta, res, cts):
             pl.BlockSpec((tkt, hf), lambda i, br, bc: (bc[i], 0)),
             pl.BlockSpec((h, tkt), lambda i, br, bc: (0, bc[i])),
         ],
-        out_specs=[
-            pl.BlockSpec((tmt, hf), lambda i, br, bc: (br[i], 0)),
-            pl.BlockSpec((tmt, h), lambda i, br, bc: (br[i], 0)),
-        ],
+        out_specs=out_specs2,
     )
     ds, dlsrc = pl.pallas_call(
-        functools.partial(_bwd_sender_kernel, h, f, slope),
+        functools.partial(_bwd_sender_kernel, h, f, slope, stream),
         grid_spec=grid2,
-        out_shape=[
-            jax.ShapeDtypeStruct((bcsr_t.n_block_rows * tmt, hf), jnp.float32),
-            jax.ShapeDtypeStruct((bcsr_t.n_block_rows * tmt, h), jnp.float32),
-        ],
+        out_shape=out_shapes2,
         cost_estimate=pl.CostEstimate(
             flops=tt * h * tm * tk * (10 + 4 * f),
             bytes_accessed=(tt * (tm * tk + tk * hf + 3 * tm * hf)) * 4,
@@ -389,6 +502,15 @@ def _tile_vjp_bwd(meta, res, cts):
         interpret=_interpret(),
     )(bcsr_t.block_rows, bcsr_t.block_cols, bcsr_t.data, lsrc_t, ldst_t.T,
       s2_t, m_t.T, dnum_t, dden_t.T)
+    if stream:
+        seg_t = (bcsr_t.block_rows[:, None] * tmt
+                 + jax.lax.broadcasted_iota(jnp.int32, (tt, tmt), 1)).reshape(-1)
+        npad_rows = bcsr_t.n_block_rows * tmt
+        ds = jax.ops.segment_sum(ds.reshape(tt * tmt, hf), seg_t,
+                                 num_segments=npad_rows, indices_are_sorted=True)
+        dlsrc = jax.ops.segment_sum(dlsrc.reshape(tt * tmt, h), seg_t,
+                                    num_segments=npad_rows,
+                                    indices_are_sorted=True)
     zeros = lambda e: jax.tree.map(jnp.zeros_like, e)
     return zeros(bcsr), zeros(bcsr_t), dlsrc[:n], dldst, ds[:n]
 
