@@ -27,6 +27,16 @@ def test_spmm_matches_dense(impl):
     np.testing.assert_allclose(np.asarray(out), a @ np.asarray(x), rtol=2e-4, atol=2e-4)
 
 
+def test_bcsr_wide_features_multi_lane_tiles():
+    """H > 128 exercises the streamed BCSR kernel's feature-tile grid dim
+    (per-tile output blocks indexed (i, 0, j))."""
+    g, a = random_graph(build_dense=False, build_bcsr=True, build_ell=False)
+    x = jax.random.normal(jax.random.key(1), (g.n_nodes, 200))
+    out = spmm(g, x, impl="bcsr")
+    np.testing.assert_allclose(np.asarray(out), a @ np.asarray(x),
+                               rtol=2e-4, atol=2e-4)
+
+
 @pytest.mark.parametrize("impl", ["segment", "dense", "bcsr", "ell", "hybrid", "panel", "colpanel"])
 def test_spmm_t_matches_dense(impl):
     g, a = random_graph(build_dense=True, build_bcsr=True, build_ell=True, build_hybrid=True, hybrid_min_edges_per_tile=32, build_panel=True, build_colpanel=True, panel_width=64)
