@@ -37,13 +37,14 @@ def _interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
-# Emit per-tile product blocks (fresh output every grid step, merged by one
-# XLA segment_sum) instead of read-modify-write accumulation into per-block-
-# row outputs. The revisiting pattern serializes at low tile occupancy —
-# measured 41 us/tile at products scale (~1 tile/block-row) vs ~0.4 us/tile
-# on dense-ish graphs where many consecutive tiles share a block row.
-# Streaming costs one [T·tm, H] intermediate + segment_sum. Flag for A/B.
-BCSR_STREAM = True
+# A/B flag: emit per-tile product blocks merged by an XLA segment_sum
+# instead of read-modify-write accumulation into per-block-row outputs.
+# MEASURED (r3): streaming LOSES in both regimes — arxiv clustered hybrid
+# 556M -> 407M edges/s (clean sessions), products tiles 788 -> 2620 ms —
+# the [T·tm, H] intermediate + merge costs more than the revisit stalls.
+# The revisit pattern stays the default; the products-scale 41 us/tile
+# cost is dominated by something other than output RMW (open lever).
+BCSR_STREAM = False
 
 
 def _kernel(br_ref, bc_ref, data_ref, x_ref, out_ref):

@@ -105,16 +105,14 @@ def _leaky(x, slope):
 # forward kernel
 # --------------------------------------------------------------------- #
 
-# Emit PER-TILE partials (fresh output block every grid step) and do the
-# cross-tile flash merge in XLA, instead of read-modify-write accumulation
-# into per-block-row outputs. The revisiting-output pattern serializes when
-# block rows change nearly every step (measured 15-41 us/tile at ~1-6
-# tiles/block-row vs the ~2 us compute estimate): each step must read the
-# current output block, combine, and write it back before the next can
-# start. Per-tile outputs stream (double-buffered writes), and the XLA
-# merge is 3 segment ops over [T·tm, ...] tensors keyed by each tile's
-# global receiver rows. Flag for A/B.
-TILE_REVISIT = False
+# A/B flag: emit PER-TILE partials merged by XLA segment ops instead of
+# read-modify-write accumulation into per-block-row outputs. MEASURED
+# (r3, clean sessions at the clustered-arxiv config): train step identical
+# (141.2 vs 142.2 ms), forward favored revisit modulo large tunnel-session
+# variance; the sibling BCSR kernel's streaming lost outright. Revisit
+# stays the default; the streamed variant is kept for future pods where
+# the tradeoff may differ.
+TILE_REVISIT = True
 
 
 def _fwd_kernel_revisit(h, f, slope, br_ref, bc_ref, mask_ref, lsrcT_ref,
