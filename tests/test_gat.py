@@ -515,3 +515,36 @@ def test_gat_hybrid_matches_coo_path():
         for a, b in zip(gh, gr):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=4e-3, atol=2e-4)
+
+
+def test_gat_hybrid_streamed_variant_matches():
+    """The streamed (per-tile outputs + XLA merge) kernel variant stays
+    correct — kept behind TILE_REVISIT for future-pod A/Bs."""
+    import pygcn_tpu.ops.pallas.gat_tile_attn as gmod
+    from pygcn_tpu.ops.gat import build_gat_tiles_t, gat_conv_hybrid
+
+    g, _ = _clustered_graph(symmetric=True)
+    tiles_t = build_gat_tiles_t(g)
+    rng = np.random.default_rng(29)
+    s = jnp.asarray(rng.normal(size=(g.n_nodes, 2, 4)).astype(np.float32))
+    a_src = jnp.asarray(rng.normal(size=(2, 4)).astype(np.float32))
+    a_dst = jnp.asarray(rng.normal(size=(2, 4)).astype(np.float32))
+
+    old = gmod.TILE_REVISIT
+    try:
+        gmod.TILE_REVISIT = True
+        out_rv = gat_conv_hybrid(g, tiles_t, s, a_src, a_dst)
+        g_rv = jax.grad(lambda v: (gat_conv_hybrid(g, tiles_t, v, a_src,
+                                                   a_dst) ** 2).sum())(s)
+        jax.clear_caches()
+        gmod.TILE_REVISIT = False
+        out_st = gat_conv_hybrid(g, tiles_t, s, a_src, a_dst)
+        g_st = jax.grad(lambda v: (gat_conv_hybrid(g, tiles_t, v, a_src,
+                                                   a_dst) ** 2).sum())(s)
+    finally:
+        gmod.TILE_REVISIT = old
+        jax.clear_caches()
+    np.testing.assert_allclose(np.asarray(out_st), np.asarray(out_rv),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_st), np.asarray(g_rv),
+                               rtol=2e-3, atol=1e-4)

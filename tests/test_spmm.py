@@ -457,3 +457,22 @@ def test_col_panel_chunked_path_matches(monkeypatch):
     monkeypatch.setattr(cp, "COLPANEL_CHUNK_BUDGET_ELEMS", 256)
     out = np.asarray(cp.col_panel_spmm_raw(pe, x))
     np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-6)
+
+
+def test_bcsr_streamed_variant_matches():
+    """BCSR_STREAM=True (per-tile outputs + sorted-segment merge) stays
+    correct — kept behind the flag for future-pod A/Bs."""
+    import pygcn_tpu.ops.pallas.bcsr_spmm as bmod
+
+    g, a = random_graph(build_dense=False, build_bcsr=True, build_ell=False)
+    x = jax.random.normal(jax.random.key(2), (g.n_nodes, 200))
+    old = bmod.BCSR_STREAM
+    try:
+        bmod.BCSR_STREAM = True
+        jax.clear_caches()
+        out = spmm(g, x, impl="bcsr")
+    finally:
+        bmod.BCSR_STREAM = old
+        jax.clear_caches()
+    np.testing.assert_allclose(np.asarray(out), a @ np.asarray(x),
+                               rtol=2e-4, atol=2e-4)
