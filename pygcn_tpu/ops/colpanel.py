@@ -150,8 +150,18 @@ def _flat_bucket_partial(x, cols, vals, k: int) -> jax.Array:
     return out.reshape(n_chunks * rows_per_chunk, h)[:nb]
 
 
+# Combine the per-virtual-row partials group-by-group (this many panels per
+# group) instead of one global [n_vrows, H] buffer + one segment_sum. At
+# products scale the global buffer is ~6.5 GiB of live HBM on top of
+# x/out/layout. MEASURED at products: throughput-neutral (373 vs 370 ms —
+# the op's own buffer was evidently not the degradation driver), kept for
+# the memory headroom it buys at larger-than-products scales (the global
+# buffer would grow past HBM at ~2x products). None = global combine.
+COLPANEL_GROUP_PANELS = 8
+
+
 def col_panel_spmm_raw(pe: ColPanelELL, x: jax.Array) -> jax.Array:
-    """``A @ x`` — per-panel small-table gathers, one global combine."""
+    """``A @ x`` — per-panel small-table gathers, grouped combines."""
     if x.shape[1] > H_CHUNK:
         return jnp.concatenate(
             [col_panel_spmm_raw(pe, x[:, i : i + H_CHUNK])
@@ -160,27 +170,35 @@ def col_panel_spmm_raw(pe: ColPanelELL, x: jax.Array) -> jax.Array:
         )
     if not pe.panels:  # every panel was empty (e.g. an all-tile hybrid residual)
         return jnp.zeros((pe.n_rows, x.shape[1]), x.dtype)
-    # Write partials into ONE preallocated [n_vrows, H] buffer at static
-    # offsets: XLA aliases the dynamic_update_slice chain in place, where a
-    # jnp.concatenate of the partial list kept pieces + copy live together
-    # (measured: 811 MB over HBM at ogbn-products scale).
     h = x.shape[1]
-    total = sum(r.shape[0] for fb in pe.panels for r in fb.rows)
-    p = jnp.zeros((total, h), x.dtype)
-    vrows = []
-    ofs = 0
-    for fb, s, w in zip(pe.panels, pe.starts, pe.widths):
-        # static slice: the panel's entire gather table
-        xs = jax.lax.slice_in_dim(x, s, s + w)
-        if MATERIALIZE_PANEL_SLICES:
-            xs = jax.lax.optimization_barrier(xs)
-        for cols, vals, rows, k in zip(fb.cols, fb.vals, fb.rows, fb.ks):
-            part = _flat_bucket_partial(xs, cols, vals, k)
-            p = jax.lax.dynamic_update_slice(p, part, (ofs, 0))
-            ofs += rows.shape[0]
-            vrows.append(rows)
-    r = jnp.concatenate(vrows, axis=0)
-    return jax.ops.segment_sum(p, r, num_segments=pe.n_rows)
+    group = COLPANEL_GROUP_PANELS or len(pe.panels)
+    out = None
+    for g0 in range(0, len(pe.panels), group):
+        panels = pe.panels[g0 : g0 + group]
+        starts = pe.starts[g0 : g0 + group]
+        widths = pe.widths[g0 : g0 + group]
+        # Write this group's partials into ONE preallocated buffer at static
+        # offsets: XLA aliases the dynamic_update_slice chain in place, where
+        # a jnp.concatenate of the partial list kept pieces + copy live
+        # together (measured: 811 MB over HBM at ogbn-products scale).
+        total = sum(r.shape[0] for fb in panels for r in fb.rows)
+        p = jnp.zeros((total, h), x.dtype)
+        vrows = []
+        ofs = 0
+        for fb, s, w in zip(panels, starts, widths):
+            # static slice: the panel's entire gather table
+            xs = jax.lax.slice_in_dim(x, s, s + w)
+            if MATERIALIZE_PANEL_SLICES:
+                xs = jax.lax.optimization_barrier(xs)
+            for cols, vals, rows, k in zip(fb.cols, fb.vals, fb.rows, fb.ks):
+                part = _flat_bucket_partial(xs, cols, vals, k)
+                p = jax.lax.dynamic_update_slice(p, part, (ofs, 0))
+                ofs += rows.shape[0]
+                vrows.append(rows)
+        r = jnp.concatenate(vrows, axis=0)
+        acc = jax.ops.segment_sum(p, r, num_segments=pe.n_rows)
+        out = acc if out is None else out + acc
+    return out
 
 
 @jax.custom_vjp
