@@ -122,9 +122,10 @@ COLPANEL_CHUNK_BUDGET_ELEMS = 1 << 28
 # Wrap each panel's x-slice in an optimization_barrier so XLA MATERIALIZES
 # it as a fresh small buffer before the gathers. The table-size gather
 # speedup needs a genuinely small table — gathering from a slice VIEW of
-# the big matrix still runs at (near) the big-table rate. Measured on the
-# v5e at products scale: 588 -> 370 ms (1.59x) for ~2 ms of slice copies
-# (PERF_NOTES "products round-3 conclusion"). Flag kept for A/B.
+# the big matrix still runs at (near) the big-table rate. Same-session A/B
+# on the v5e at products scale: 901 -> 370 ms (2.44x), and the
+# materialized path is reproducible where the view path swings 588-901 ms
+# (PERF_NOTES "same-session A/B"). Flag kept for A/B.
 MATERIALIZE_PANEL_SLICES = True
 
 
