@@ -45,7 +45,7 @@ def build_clustered():
     )
 
 
-def bench_tpu_clustered(adj) -> tuple[float, int, float]:
+def bench_tpu_clustered(adj) -> tuple[float, int, float, int]:
     """Returns (time, n_edges, tile_fraction) for the full honest pipeline:
     locality-order the shuffled graph, build hybrid, time the SpMM."""
     import jax.numpy as jnp

@@ -423,11 +423,28 @@ def build_gat_tiles_t(graph: Graph):
     """Host-side: the EXACT transpose of the hybrid layout's forward tiles,
     for :func:`gat_conv_hybrid`'s sender-indexed backward kernel (see
     ``ops/pallas/gat_tile_attn.transpose_bcsr`` for why ``graph.hybrid_t``
-    is not reused). Returns None when the hybrid layout has no tiles."""
+    is not reused). Returns None when the hybrid layout has no tiles.
+
+    Also verifies, host-side, that every real edge carries a NONZERO
+    weight: :func:`gat_conv_hybrid` infers residual-slot validity from
+    ``ell.vals != 0`` (the flat ELL stores no separate structural mask), so
+    an explicitly-stored zero-weight edge would silently drop out of
+    attention — diverging from the edge_map/COO paths, which are
+    structural. Checking here turns that silent divergence into an error."""
+    import numpy as np
+
     from pygcn_tpu.ops.pallas.gat_tile_attn import transpose_bcsr
 
     if graph.hybrid is None:
         raise ValueError("graph has no hybrid layout; build with build_hybrid=True")
+    w = np.asarray(graph.weights[: graph.n_edges])
+    if w.size and not np.all(w != 0):
+        raise ValueError(
+            "gat_conv_hybrid requires all real edge weights to be nonzero "
+            "(residual-slot validity is inferred from vals != 0); found "
+            f"{int((w == 0).sum())} zero-weight edges — use the edge_map "
+            "(gat_conv_ell) path for graphs with explicit zero edges"
+        )
     if graph.hybrid.bcsr is None:
         return None
     return transpose_bcsr(graph.hybrid.bcsr)

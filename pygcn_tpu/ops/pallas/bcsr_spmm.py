@@ -101,11 +101,16 @@ def bcsr_spmm(bcsr: BCSR, x: jax.Array, *, n_rows: int) -> jax.Array:
             ),
             interpret=_interpret(),
         )(bcsr.block_rows, bcsr.block_cols, bcsr.data, x)
+        # Segment ids are only BLOCK-sorted: every tile of a block row
+        # restarts its id run at r*tm, so the flattened sequence is unsorted
+        # whenever a block row owns >1 tile (the common case). Claiming
+        # sortedness here is undefined behavior on TPU (CPU interpret
+        # ignores the hint, so parity tests can't catch it).
         seg = (bcsr.block_rows[:, None] * tm
                + jax.lax.broadcasted_iota(jnp.int32, (t, tm), 1)).reshape(-1)
         out = jax.ops.segment_sum(
             parts.reshape(t * tm, hn * TN), seg,
-            num_segments=bcsr.n_block_rows * tm, indices_are_sorted=True,
+            num_segments=bcsr.n_block_rows * tm,
         )
         return out[:n_rows, :h]
 

@@ -239,19 +239,21 @@ def _run_fwd(bcsr: BCSR, lsrcT, ldst, s2, h: int, f: int, slope: float):
         interpret=_interpret(),
     )(bcsr.block_rows, bcsr.block_cols, bcsr.data, lsrcT, ldst, s2)
     # cross-tile flash merge in XLA: segment ops keyed by each tile's
-    # global receiver rows (block_rows are sorted, so segments are sorted)
+    # global receiver rows. The ids are only BLOCK-sorted — each tile of a
+    # block row restarts its run at r*tm, so the flattened sequence is NOT
+    # sorted whenever a block row owns >1 tile; claiming sortedness would
+    # be undefined behavior on TPU (CPU interpret ignores the hint).
     seg = (bcsr.block_rows[:, None] * tm
            + jax.lax.broadcasted_iota(jnp.int32, (t, tm), 1)).reshape(-1)
     max_flat = max_t.reshape(t * tm, h)
-    mx = jax.ops.segment_max(max_flat, seg, num_segments=n_rows_pad,
-                             indices_are_sorted=True)
+    mx = jax.ops.segment_max(max_flat, seg, num_segments=n_rows_pad)
     shift = jnp.where(mx > -1e29, mx, 0.0)
     scale = jnp.exp(max_flat - jnp.take(shift, seg, axis=0))  # [T*tm, h]
     den = jax.ops.segment_sum(den_t.reshape(t * tm, h) * scale, seg,
-                              num_segments=n_rows_pad, indices_are_sorted=True)
+                              num_segments=n_rows_pad)
     scale_f = jnp.repeat(scale, f, axis=-1)  # [T*tm, hf]
     num = jax.ops.segment_sum(num_t.reshape(t * tm, hf) * scale_f, seg,
-                              num_segments=n_rows_pad, indices_are_sorted=True)
+                              num_segments=n_rows_pad)
     return num, den, mx
 
 
@@ -394,6 +396,15 @@ def _tile_vjp_bwd(meta, res, cts):
     n = s2.shape[0]
     hf = h * f
     tm, tk = bcsr.tm, bcsr.tk
+    # The backward pads every operand to n_block_cols*tk (and the sender
+    # pass to bcsr_t's space) but indexes some by block ROW and others by
+    # block COL; the two padded spaces coincide only for square tiles over
+    # the shared node space. Make that assumption explicit.
+    if tm != tk or bcsr_t.tm != bcsr_t.tk:
+        raise ValueError(
+            "gat_tile_partials backward requires square tiles (tm == tk); "
+            f"got ({tm}, {tk}) / ({bcsr_t.tm}, {bcsr_t.tk})"
+        )
 
     def padded(a, rows):
         p = rows - a.shape[0]
@@ -443,11 +454,12 @@ def _tile_vjp_bwd(meta, res, cts):
     )(bcsr.block_rows, bcsr.block_cols, bcsr.data, lsrc_p.T, ldst_p, s2_p,
       m_p, dnum_p, dden_p)
     if stream:
+        # ids restart at br[i]*tm per tile — block-sorted only, NOT sorted
         seg = (bcsr.block_rows[:, None] * tm
                + jax.lax.broadcasted_iota(jnp.int32, (t, tm), 1)).reshape(-1)
         dldst = jax.ops.segment_sum(
             dldst.reshape(t * tm, h), seg,
-            num_segments=bcsr.n_block_rows * tm, indices_are_sorted=True)
+            num_segments=bcsr.n_block_rows * tm)
     dldst = dldst[:n]
 
     tt = bcsr_t.data.shape[0]
@@ -501,14 +513,14 @@ def _tile_vjp_bwd(meta, res, cts):
     )(bcsr_t.block_rows, bcsr_t.block_cols, bcsr_t.data, lsrc_t, ldst_t.T,
       s2_t, m_t.T, dnum_t, dden_t.T)
     if stream:
+        # ids restart at br[i]*tmt per tile — block-sorted only, NOT sorted
         seg_t = (bcsr_t.block_rows[:, None] * tmt
                  + jax.lax.broadcasted_iota(jnp.int32, (tt, tmt), 1)).reshape(-1)
         npad_rows = bcsr_t.n_block_rows * tmt
         ds = jax.ops.segment_sum(ds.reshape(tt * tmt, hf), seg_t,
-                                 num_segments=npad_rows, indices_are_sorted=True)
+                                 num_segments=npad_rows)
         dlsrc = jax.ops.segment_sum(dlsrc.reshape(tt * tmt, h), seg_t,
-                                    num_segments=npad_rows,
-                                    indices_are_sorted=True)
+                                    num_segments=npad_rows)
     zeros = lambda e: jax.tree.map(jnp.zeros_like, e)
     return zeros(bcsr), zeros(bcsr_t), dlsrc[:n], dldst, ds[:n]
 
