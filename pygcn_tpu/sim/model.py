@@ -139,6 +139,18 @@ class EpidemicParams:
     # matched; a small upward bias remains in very-low-mean regimes (the
     # clip-at-zero tail). Default False = reference-exact distributions.
     approx_draws: bool = False
+    # R0-calibration mode (reference ``disease_model.py:234-258``): new cases
+    # are parked directly in ``removed`` instead of entering ``latent``, so
+    # only the initial seeds ever become infectious and ``total_affected``
+    # counts seeds + the secondary infections they caused (the R0 estimate);
+    # confirmation/death bookkeeping is suppressed. NOTE the reference's
+    # second r0 gate (``disease_model.py:305``) skips the POI term of
+    # get_new_cases but then dereferences the undefined ``num_cases_from_poi``
+    # at line 331 — a NameError on any run with visit data, i.e. dead code
+    # (every reference driver passes just_compute_r0=False). This rebuild
+    # keeps the full new-case computation (POI + home) and gates only the
+    # state update, which is the runnable, scientifically meaningful form.
+    just_compute_r0: bool = False
 
     @staticmethod
     def build(
@@ -208,6 +220,7 @@ jax.tree_util.register_dataclass(
         "home_beta", "p_sick_at_t0", "vaccination_time", "total_hours", "psi",
         "latency_period", "infectious_period", "confirmation_rate",
         "confirmation_lag", "death_lag", "clip_poisson_approximation", "approx_draws",
+        "just_compute_r0",
     ],
 )
 
@@ -391,6 +404,30 @@ def _hour_update(state, key, t, params: EpidemicParams, visits: VisitSeq):
     # --- update_states (disease_model.py:224-258) ---
     new_infectious = _binomial(n_keys[2], latent, 1.0 / params.latency_period, params.approx_draws)
     new_removed = _binomial(n_keys[3], infected, 1.0 / params.infectious_period, params.approx_draws)
+
+    if params.just_compute_r0:
+        # R0-calibration gate (disease_model.py:254-258): new cases never
+        # enter latent — they are parked in removed, so only the initial
+        # seeds spread and total_affected - seeds estimates R0. Confirmation
+        # and death pipelines are suppressed entirely (the reference skips
+        # those draws in this branch).
+        latent = latent - new_infectious
+        infected = infected + new_infectious - new_removed
+        removed = removed + new_removed + new_cases
+        new_state = {
+            "latent": latent,
+            "infected": infected,
+            "removed": removed,
+            "cases_to_confirm": state["cases_to_confirm"],
+            "deaths_to_happen": state["deaths_to_happen"],
+            "C2": state["C2"],
+            "D2": state["D2"],
+        }
+        monitor = jnp.stack(
+            [n_base_clipped, n_active_pois, n_poi_clipped, n_cbgs_active, n_cbgs_clipped]
+        )
+        return new_state, monitor
+
     latent = latent + new_cases - new_infectious
     infected = infected + new_infectious - new_removed
     removed = removed + new_removed

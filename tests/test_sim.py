@@ -402,3 +402,35 @@ def test_simulate_paged_periodic_wrap():
         np.testing.assert_array_equal(
             np.asarray(ref[k]), np.asarray(paged[k]), err_msg=k
         )
+
+
+def test_just_compute_r0_mode():
+    """R0-calibration mode (reference ``disease_model.py:234-258``): new
+    cases are parked in ``removed`` and never become infectious, so latent
+    is non-increasing after seeding, confirmation/death pipelines stay
+    zero, and ``total_affected - seeds`` counts secondary infections."""
+    import dataclasses as _dc
+
+    params, visits, sizes = tiny_world(hours=48)
+    r0_params = _dc.replace(params, just_compute_r0=True)
+
+    out = simulate(r0_params, visits, num_seeds=6, key=jax.random.key(3))
+
+    # no confirmations or deaths are ever booked in r0 mode
+    assert float(np.abs(np.asarray(out["C2"])).max()) == 0.0
+    assert float(np.abs(np.asarray(out["D2"])).max()) == 0.0
+    assert float(np.abs(np.asarray(out["history_C2"])).max()) == 0.0
+
+    # latent only drains (new cases bypass it): block-start L sums are
+    # non-increasing over time for every seed
+    L = np.asarray(out["L"])  # [D, S]
+    assert (np.diff(L, axis=0) <= 1e-5).all()
+
+    # total_affected >= the initial seed count and well-defined
+    assert (np.asarray(out["total_affected"]) >= L[0] - 1e-5).all()
+    assert np.isfinite(np.asarray(out["total_affected"])).all()
+
+    # normal mode on the same key books confirmations (sanity contrast:
+    # the flag actually changes behavior)
+    out_n = simulate(params, visits, num_seeds=6, key=jax.random.key(3))
+    assert float(np.asarray(out_n["C2"]).sum()) > 0.0
