@@ -107,14 +107,22 @@ def main(argv=None):
         )
         perm = locality_order(data.graph, "auto")
         data = reorder_dataset(data, perm)
-        # rebuild with the compute layouts on the LP-ordered ids: hybrid
-        # MXU tiles + ELL (residual AND the GAT slot path / transpose)
+        # rebuild compute layouts on the LP-ordered ids. The layout choice
+        # itself is the Graph.from_coo auto-policy (hybrid MXU tiles in the
+        # mid band, ColPanelELL above ~1M rows — PERF_NOTES.md); only model/
+        # topology constraints are overridden: attention models need the ELL
+        # slot path (+ hybrid tiles for the fused tile-attention kernel),
+        # and the sharded path partitions per shard so whole-graph layouts
+        # are skipped.
         coo = data.graph.to_scipy()
-        data.graph = Graph.from_scipy(
-            coo, is_symmetric=True, build_dense=False, build_bcsr=False,
-            build_ell=True,
-            build_hybrid=args.shards == 1, hybrid_min_edges_per_tile=64,
-        )
+        kw = dict(is_symmetric=True, build_dense=False, build_bcsr=False,
+                  hybrid_min_edges_per_tile=64)
+        if args.shards > 1:
+            kw.update(build_hybrid=False, build_colpanel=False)
+        if args.model in ("gat", "gatv2"):
+            kw.update(build_ell=True, build_hybrid=args.shards == 1,
+                      build_colpanel=False)
+        data.graph = Graph.from_scipy(coo, **kw)
         print(f"clustered pipeline: LP order + layouts built in "
               f"{time.time() - t0:.1f}s"
               + (f", tile_frac="

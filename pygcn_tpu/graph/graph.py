@@ -33,6 +33,20 @@ import scipy.sparse as sp
 # Edge buffers are padded to a multiple of this so minor edits don't retrace.
 EDGE_PAD = 512
 
+# Measured layout-by-scale policy (PERF_NOTES.md, real v5e):
+#   - dense MXU matmul up to ``dense_max_nodes`` (8192);
+#   - hybrid BCSR+ELL in the 8K..~1M band (clustered arxiv: 547-554M edges/s
+#     vs 228M plain ELL; degenerates gracefully to ELL when no tile
+#     qualifies, so it is safe as a default);
+#   - ColPanelELL pw=64K above ~1M rows, where XLA's gather row rate
+#     collapses with table size (products 2.45M nodes: 171M edges/s vs 45M
+#     flat ELL, and the hybrid's tiles LOSE outright at that occupancy);
+#   - diagonal panels never by default (lose below ~1M; colpanel supersedes
+#     above).
+# ``from_coo`` applies this automatically when the build flags are left
+# unset; every threshold is overridable per call.
+COLPANEL_MIN_NODES = 1_000_000
+
 
 @dataclasses.dataclass(frozen=True)
 class BCSR:
@@ -107,9 +121,9 @@ class Graph:
         build_dense: Optional[bool] = None,
         build_bcsr: Optional[bool] = None,
         build_ell: Optional[bool] = None,
-        build_hybrid: bool = False,
+        build_hybrid: Optional[bool] = None,
         build_panel: bool = False,
-        build_colpanel: bool = False,
+        build_colpanel: Optional[bool] = None,
         panel_width: int = 65536,
         hybrid_min_edges_per_tile: int = 128,
         hybrid_tile_budget_bytes: Optional[int] = 512 * 1024**2,
@@ -118,13 +132,17 @@ class Graph:
         tile: tuple[int, int] = (128, 128),
         bcsr_budget_bytes: int = 2 * 1024**3,
         dense_max_nodes: int = 8192,
+        colpanel_min_nodes: int = COLPANEL_MIN_NODES,
         dtype=np.float32,
     ) -> "Graph":
         """Build a :class:`Graph` from host-side COO arrays.
 
-        ``build_dense``/``build_bcsr`` default to automatic policies:
-        dense for graphs up to ``dense_max_nodes`` nodes, BCSR whenever the
-        materialized tiles fit ``bcsr_budget_bytes``.
+        Unset build flags follow the measured layout-by-scale policy (see
+        ``COLPANEL_MIN_NODES`` and PERF_NOTES.md): dense up to
+        ``dense_max_nodes``, hybrid BCSR+ELL in the mid band, ColPanelELL
+        above ~1M rows. ``build_bcsr`` defaults to whether the materialized
+        tiles fit ``bcsr_budget_bytes``. Every flag remains an explicit
+        override.
         """
         senders = np.asarray(senders, dtype=np.int64)
         receivers = np.asarray(receivers, dtype=np.int64)
@@ -159,6 +177,17 @@ class Graph:
             build_dense = n_nodes <= dense_max_nodes
         dense = jnp.asarray(coo.toarray()) if build_dense else None
 
+        # Layout-by-scale auto-policy (module doc at COLPANEL_MIN_NODES):
+        # colpanel above ~1M rows, hybrid in the 8K..1M band. The global ELL
+        # is skipped when colpanel is chosen — at that scale the full-table
+        # gather path is the measured 3.8x-slower default the policy exists
+        # to avoid, and its build costs ~a minute + ~700 MB at products
+        # scale. All three remain explicit overrides.
+        if build_colpanel is None:
+            build_colpanel = (not build_dense) and n_nodes > colpanel_min_nodes
+        if build_hybrid is None:
+            build_hybrid = not build_dense and not build_colpanel
+
         if build_bcsr is None:
             build_bcsr = _bcsr_fits(coo, tile, bcsr_budget_bytes)
         bcsr = _build_bcsr(coo, tile) if build_bcsr else None
@@ -166,9 +195,11 @@ class Graph:
         if build_bcsr and not is_symmetric:
             bcsr_t = _build_bcsr(coo.T.tocoo(), tile)
 
-        # ELL is the default fast path for graphs too large/sparse to densify.
+        # ELL is the default fallback for graphs too large/sparse to densify
+        # (and the hybrid's residual side needs its builders anyway); above
+        # the colpanel threshold it is skipped by default (see above).
         if build_ell is None:
-            build_ell = not build_dense
+            build_ell = not build_dense and not build_colpanel
         ell = ell_t = None
         if build_ell:
             from pygcn_tpu.ops.ell import build_ell as _mk_ell

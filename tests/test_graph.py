@@ -154,3 +154,40 @@ def test_community_graph_structure():
     # shuffled labels scatter communities (id-contiguous blocks lose edges)
     within_s = (comm[ms.row] == comm[ms.col]).mean()
     assert within_s < 0.2
+
+
+def test_layout_by_scale_auto_policy():
+    """Graph.from_coo defaults encode the measured layout-by-scale policy
+    (PERF_NOTES.md): dense <= dense_max_nodes, hybrid BCSR+ELL in the mid
+    band, ColPanelELL above the colpanel threshold (global ELL skipped
+    there), panels never by default. Thresholds shrunk to test scale."""
+    import scipy.sparse as sp
+
+    from pygcn_tpu.ops.spmm import _resolve_impl
+
+    rng = np.random.default_rng(0)
+    m = sp.random(300, 300, density=0.05, random_state=3, format="coo")
+    m = ((m + m.T) * 0.5).tocoo()
+
+    # small: dense wins
+    g = Graph.from_scipy(m, is_symmetric=True)
+    assert g.dense is not None and _resolve_impl(g, "auto") == "dense"
+
+    # mid band: hybrid (+ ELL fallback), no colpanel, no panel
+    g = Graph.from_scipy(m, is_symmetric=True, dense_max_nodes=64,
+                         colpanel_min_nodes=1000)
+    assert g.dense is None and g.hybrid is not None and g.ell is not None
+    assert g.colpanel is None and g.panel is None
+    assert _resolve_impl(g, "auto") == "hybrid"
+
+    # large: colpanel only (global ELL and hybrid skipped by default)
+    g = Graph.from_scipy(m, is_symmetric=True, dense_max_nodes=64,
+                         colpanel_min_nodes=200, panel_width=128)
+    assert g.colpanel is not None and g.hybrid is None and g.ell is None
+    assert _resolve_impl(g, "auto") == "colpanel"
+
+    # explicit overrides still win
+    g = Graph.from_scipy(m, is_symmetric=True, dense_max_nodes=64,
+                         colpanel_min_nodes=200, build_colpanel=False,
+                         build_ell=True)
+    assert g.colpanel is None and g.ell is not None

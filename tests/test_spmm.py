@@ -353,7 +353,8 @@ def test_panel_ell_routes_diagonal_edges():
 
     a = sym_normalize(symmetrize_max(m))
     g = Graph.from_scipy(a, is_symmetric=True, build_dense=False,
-                         build_bcsr=False, build_panel=True, panel_width=128)
+                         build_bcsr=False, build_hybrid=False,
+                         build_panel=True, panel_width=128)
     from pygcn_tpu.ops.spmm import _resolve_impl
 
     assert _resolve_impl(g, "auto") == "panel"
