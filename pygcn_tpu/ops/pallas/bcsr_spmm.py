@@ -67,13 +67,22 @@ def _kernel_stream(br_ref, bc_ref, data_ref, x_ref, out_ref):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("n_rows",))
-def bcsr_spmm(bcsr: BCSR, x: jax.Array, *, n_rows: int) -> jax.Array:
-    """``A @ x`` with ``A`` in BCSR tiles. ``x``: [n_cols, H] → [n_rows, H]."""
+@functools.partial(jax.jit, static_argnames=("n_rows", "out_dtype"))
+def bcsr_spmm(bcsr: BCSR, x: jax.Array, *, n_rows: int, out_dtype=None) -> jax.Array:
+    """``A @ x`` with ``A`` in BCSR tiles. ``x``: [n_cols, H] → [n_rows, H].
+
+    ``data``/``x`` may be bf16 (halving the kernel's HBM read traffic —
+    tile storage dominates the working set at products scale) while the
+    output/accumulator stays f32 via ``out_dtype``: the MXU multiplies
+    bf16 natively with an f32 accumulator, so precision loss is only the
+    input rounding. ``out_dtype`` defaults to ``x.dtype``.
+    """
     tm, tk = bcsr.tm, bcsr.tk
     t = bcsr.data.shape[0]
     h = x.shape[1]
     hn = -(-h // TN)
+    if out_dtype is None:
+        out_dtype = x.dtype
 
     x_pad_rows = bcsr.n_block_cols * tk - x.shape[0]
     x_pad_cols = hn * TN - h
@@ -93,7 +102,7 @@ def bcsr_spmm(bcsr: BCSR, x: jax.Array, *, n_rows: int) -> jax.Array:
         parts = pl.pallas_call(
             _kernel_stream,
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((t, tm, hn * TN), x.dtype),
+            out_shape=jax.ShapeDtypeStruct((t, tm, hn * TN), out_dtype),
             cost_estimate=pl.CostEstimate(
                 flops=2 * t * tm * tk * hn * TN,
                 bytes_accessed=(t * tm * tk + t * tk * TN + t * tm * hn * TN) * 4,
@@ -127,7 +136,7 @@ def bcsr_spmm(bcsr: BCSR, x: jax.Array, *, n_rows: int) -> jax.Array:
     out = pl.pallas_call(
         _kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((bcsr.n_block_rows * tm, hn * TN), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((bcsr.n_block_rows * tm, hn * TN), out_dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * t * tm * tk * hn * TN,
             bytes_accessed=(t * tm * tk + t * tk * TN + bcsr.n_block_rows * tm * hn * TN) * 4,

@@ -477,3 +477,29 @@ def test_bcsr_streamed_variant_matches():
         jax.clear_caches()
     np.testing.assert_allclose(np.asarray(out), a @ np.asarray(x),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_bcsr_spmm_bf16_inputs_f32_accumulate():
+    """bf16 tile data + bf16 x with out_dtype=f32: the MXU-native mixed
+    precision mode that halves the kernel's HBM read traffic at products
+    scale (tile storage dominates the working set — PERF_NOTES r4)."""
+    import dataclasses
+
+    import scipy.sparse as sp
+
+    from pygcn_tpu.graph.graph import _build_bcsr
+    from pygcn_tpu.ops.pallas.bcsr_spmm import bcsr_spmm
+
+    rng = np.random.default_rng(0)
+    m = sp.random(300, 300, density=0.05, random_state=1, format="coo")
+    b = _build_bcsr(m, (128, 128))
+    x = rng.standard_normal((300, 64)).astype(np.float32)
+    ref = m.toarray() @ x
+
+    b16 = dataclasses.replace(
+        b, data=jnp.asarray(np.asarray(b.data), jnp.bfloat16))
+    y16 = bcsr_spmm(b16, jnp.asarray(x).astype(jnp.bfloat16), n_rows=300,
+                    out_dtype=jnp.float32)
+    assert y16.dtype == jnp.float32
+    err = np.abs(np.asarray(y16) - ref).max() / np.abs(ref).max()
+    assert err < 0.02  # only input-rounding error, not bf16 accumulation

@@ -1,0 +1,157 @@
+"""Round-4 products composite: tiles + colpanel residual under co-residency
+(VERDICT r3 item 1).
+
+r3 measured the pieces apart — tiles alone 105 ms, materialized colpanel
+(full graph) 370 ms — but the composite died on co-residency: the same
+tile op measured 788-2546 ms with the colpanel layout resident. These
+cases try the named levers in fresh processes:
+
+- colp_only  : full-graph ColPanelELL pw=64K materialized (session
+               calibration; expect ~370 ms / 171M edges/s).
+- comp_f32   : tiles f32 + colpanel RESIDUAL pw=64K, both resident;
+               time each phase chained, report sum-of-parts.
+- comp_bf16  : tiles stored bf16 (halves the tile working set; x cast
+               inside the phase, f32 accumulate), colpanel residual f32.
+- comp_bf16_xf32 : like comp_bf16 but phase order reversed (residual
+               first) to probe allocation-order sensitivity.
+
+Fresh process per case:  python tools/probe_composite_r4.py --case X
+Needs /tmp/products_lp.npz + /tmp/products_split.npz (products_cache.py).
+
+Target (VERDICT): composite >= 200M edges/s (<= 317 ms on 63.4M edges) or
+a mechanism-isolating negative.
+"""
+import argparse
+import gc
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def log(**kw):
+    print(json.dumps(kw), flush=True)
+
+
+H = 128
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--case", required=True)
+    ap.add_argument("--pw", type=int, default=65536)
+    args = ap.parse_args()
+    case = args.case
+
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import scipy.sparse as sp
+
+    import pygcn_tpu.ops.colpanel as cpmod
+    from pygcn_tpu.graph.graph import _build_bcsr
+    from pygcn_tpu.ops.colpanel import build_col_panel_ell, col_panel_spmm_raw
+    from pygcn_tpu.ops.pallas.bcsr_spmm import bcsr_spmm
+    from pygcn_tpu.utils.benchmark import time_chained
+
+    cpmod.MATERIALIZE_PANEL_SLICES = True
+    cpu = jax.devices("cpu")[0]
+    rng = np.random.default_rng(0)
+    t0 = time.time()
+
+    if case == "colp_only":
+        z = np.load("/tmp/products_lp.npz")
+        n = int(z["n"])
+        coo = sp.coo_matrix((z["data"], (z["row"], z["col"])), shape=(n, n))
+        n_edges = int(coo.nnz)
+        with jax.default_device(cpu):
+            cp_host = build_col_panel_ell(coo.tocsc(), panel_width=args.pw)
+        del coo, z
+        gc.collect()
+        cp = jax.device_put(cp_host)
+        del cp_host
+        gc.collect()
+        jax.block_until_ready(cp.panels[0].cols)
+        x = jnp.asarray(rng.normal(size=(n, H)).astype(np.float32))
+        x.block_until_ready()
+        log(case=case, n_edges=n_edges, built_s=time.time() - t0)
+        t = time_chained(lambda v, c: v + 1e-30 * jnp.sum(
+            col_panel_spmm_raw(c, v)), x, iters=8, reps=2, args=(cp,))
+        log(case=case, t_ms=t * 1e3, edges_per_s=n_edges / t)
+        log(stage="done")
+        return
+
+    # composite cases
+    z = np.load("/tmp/products_split.npz")
+    n = int(z["n"])
+    tcoo = sp.coo_matrix((z["tdata"], (z["trow"], z["tcol"])), shape=(n, n))
+    rcsc = sp.csc_matrix((z["rdata"], (z["rrow"], z["rcol"])), shape=(n, n))
+    tile_edges, resid_edges = int(tcoo.nnz), int(rcsc.nnz)
+    n_edges = tile_edges + resid_edges
+    del z
+    gc.collect()
+
+    bf16 = "bf16" in case
+    with jax.default_device(cpu):
+        b_host = _build_bcsr(tcoo, (128, 128))
+        if bf16:
+            b_host = dataclasses.replace(
+                b_host, data=jnp.asarray(np.asarray(b_host.data), jnp.bfloat16))
+        cp_host = build_col_panel_ell(rcsc, panel_width=args.pw)
+    del tcoo, rcsc
+    gc.collect()
+    b = jax.device_put(b_host)
+    cp = jax.device_put(cp_host)
+    del b_host, cp_host
+    gc.collect()
+    jax.block_until_ready(b.data)
+    jax.block_until_ready(cp.panels[0].cols)
+    x = jnp.asarray(rng.normal(size=(n, H)).astype(np.float32))
+    x.block_until_ready()
+    tiles = int(b.data.shape[0])
+    log(case=case, tiles=tiles, tile_edges=tile_edges,
+        resid_edges=resid_edges, vrows=cp.n_vrows,
+        tile_mb=tiles * 128 * 128 * (2 if bf16 else 4) / 2**20,
+        built_s=time.time() - t0)
+
+    def tiles_step(v, bb):
+        vin = v.astype(jnp.bfloat16) if bf16 else v
+        y = bcsr_spmm(bb, vin, n_rows=n, out_dtype=jnp.float32)
+        return v + 1e-30 * jnp.sum(y)
+
+    def resid_step(v, c):
+        return v + 1e-30 * jnp.sum(col_panel_spmm_raw(c, v))
+
+    order = [("tiles", tiles_step, (b,)), ("resid", resid_step, (cp,))]
+    if case.endswith("xf32"):
+        order = order[::-1]
+
+    total = 0.0
+    for name, fn, extra in order:
+        t = time_chained(fn, x, iters=8, reps=2, args=extra)
+        edges = tile_edges if name == "tiles" else resid_edges
+        log(case=case, phase=name, t_ms=t * 1e3,
+            us_per_tile=(t * 1e6 / tiles) if name == "tiles" else None,
+            edges_per_s=edges / t)
+        total += t
+
+    # the final add of the two partials (with everything resident)
+    y1 = bcsr_spmm(b, x.astype(jnp.bfloat16) if bf16 else x, n_rows=n,
+                   out_dtype=jnp.float32)
+    y1.block_until_ready()
+    t_add = time_chained(lambda v, yy: v + 1e-30 * jnp.sum(v + yy), x,
+                         iters=8, reps=2, args=(y1,))
+    log(case=case, phase="add", t_ms=t_add * 1e3)
+    total += t_add
+    log(case=case, composite_t_ms=total * 1e3, edges_per_s=n_edges / total,
+        target_200M_ms=n_edges / 200e6 * 1e3)
+    log(stage="done")
+
+
+if __name__ == "__main__":
+    main()
