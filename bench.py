@@ -56,7 +56,8 @@ def bench_tpu_clustered(adj) -> tuple[float, int, float, int]:
     from pygcn_tpu.utils.benchmark import time_chained
 
     g0 = Graph.from_scipy(
-        adj, is_symmetric=True, build_dense=False, build_bcsr=False, build_ell=False
+        adj, is_symmetric=True, build_dense=False, build_bcsr=False,
+        build_ell=False, build_hybrid=False, build_colpanel=False,
     )
     perm = locality_order(g0, "lp")
     adj_lp = adj.tocsr()[perm][:, perm].tocoo()
@@ -95,8 +96,9 @@ def bench_tpu_chung_lu() -> tuple[float, int]:
 
     adj = sym_normalize(symmetrize_max(chung_lu_graph(N_NODES, CL_AVG_DEG, seed=0)))
     graph = Graph.from_scipy(
-        adj, is_symmetric=True, build_dense=False, build_bcsr=None
-    )
+        adj, is_symmetric=True, build_dense=False, build_bcsr=None,
+        build_hybrid=False, build_colpanel=False,  # measure PLAIN ELL on the
+    )  # structure-free graph (the conservative number the metric reports)
     x = jnp.asarray(
         np.random.default_rng(0).normal(size=(graph.n_nodes, H)).astype(np.float32)
     )

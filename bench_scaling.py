@@ -65,7 +65,8 @@ def main():
 
     adj = sym_normalize(symmetrize_max(chung_lu_graph(args.n_nodes, args.avg_degree, seed=0)))
     graph = Graph.from_scipy(
-        adj, is_symmetric=True, build_dense=False, build_bcsr=False, build_ell=False
+        adj, is_symmetric=True, build_dense=False, build_bcsr=False,
+        build_ell=False, build_hybrid=False, build_colpanel=False,
     )
     if args.order != "none":
         from pygcn_tpu.parallel.partition import locality_order, reorder_graph

@@ -104,7 +104,8 @@ def main(argv=None):
             n=args.n_nodes, avg_degree=args.avg_degree,
             n_classes=args.n_classes, feat_dim=args.feat_dim, seed=args.seed,
             build_dense=False, build_bcsr=False, build_ell=False,
-        )
+            build_hybrid=False, build_colpanel=False,  # pre-LP-order: layouts
+        )  # on shuffled ids would be rebuilt anyway (auto-policy runs below)
         perm = locality_order(data.graph, "auto")
         data = reorder_dataset(data, perm)
         # rebuild compute layouts on the LP-ordered ids. The layout choice

@@ -277,12 +277,19 @@ def reorder_graph(graph: Graph, perm: np.ndarray) -> tuple:
     senders = inv[np.asarray(graph.senders[:e])]
     receivers = inv[np.asarray(graph.receivers[:e])]
     weights = np.asarray(graph.weights[:e])
+    # mirror the source graph's layout set EXPLICITLY (with its build
+    # hyperparameters) — leaving flags unset would invoke the layout-by-
+    # scale auto-policy and build layouts the caller deliberately skipped
     new_graph = Graph.from_coo(
         senders, receivers, weights, n_nodes=graph.n_nodes,
         is_symmetric=graph.is_symmetric,
         build_dense=graph.dense is not None,
         build_bcsr=graph.bcsr is not None,
         build_ell=graph.ell is not None,
+        build_hybrid=graph.hybrid is not None,
+        build_panel=graph.panel is not None,
+        build_colpanel=graph.colpanel is not None,
+        **dict(graph.build_meta),
     )
     return new_graph, inv
 

@@ -83,7 +83,8 @@ def main():
     t0 = time.time()
     with jax.default_device(cpu):
         g0 = Graph.from_scipy(adj, is_symmetric=True, build_dense=False,
-                              build_bcsr=False, build_ell=False)
+                              build_bcsr=False, build_ell=False,
+                              build_hybrid=False, build_colpanel=False)
         perm = locality_order(g0, "lp")
     del g0
     gc.collect()

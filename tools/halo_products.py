@@ -56,11 +56,13 @@ def main():
     adj = sym_normalize(symmetrize_max(
         community_graph(N_NODES, AVG_DEG, seed=0, shuffle=True)))
     g0 = Graph.from_scipy(adj, is_symmetric=True, build_dense=False,
-                          build_bcsr=False, build_ell=False)
+                          build_bcsr=False, build_ell=False,
+                          build_hybrid=False, build_colpanel=False)
     perm = locality_order(g0, "lp")
     adj = adj.tocsr()[perm][:, perm].tocoo()
     graph = Graph.from_scipy(adj, is_symmetric=True, build_dense=False,
-                             build_bcsr=False, build_ell=False)
+                             build_bcsr=False, build_ell=False,
+                             build_hybrid=False, build_colpanel=False)
     print(f"graph + LP order: {time.time() - t0:.0f}s", flush=True)
 
     report = {
