@@ -175,7 +175,7 @@ def main(argv=None):
 
             edge_map = build_edge_map(graph)
         tiles_t, hybrid_tiles = None, False
-        if (args.model == "gat" and graph.hybrid is not None
+        if (args.model in ("gat", "gatv2") and graph.hybrid is not None
                 and graph.hybrid.bcsr is not None):
             from pygcn_tpu.ops.ell import ELL
             from pygcn_tpu.ops.gat import build_gat_tiles_t
@@ -183,7 +183,7 @@ def main(argv=None):
             if isinstance(graph.hybrid.ell, ELL):
                 tiles_t = build_gat_tiles_t(graph)
                 hybrid_tiles = True
-                print("gat: Pallas tile-attention path "
+                print(f"{args.model}: Pallas tile-attention path "
                       f"({graph.hybrid.tile_edges / graph.n_edges:.0%} of "
                       "edges on MXU tiles)")
 

@@ -124,13 +124,20 @@ class GATv2Conv(Module):
         return p
 
     def apply(self, params, x: jax.Array, graph: Graph,
-              attn_dropout=None, edge_map=None) -> jax.Array:
+              attn_dropout=None, edge_map=None, hybrid_tiles=False,
+              tiles_t=None) -> jax.Array:
         n = x.shape[0]
         h, f = self.heads, self.out_features
         s_l = jnp.dot(x, params["w_l"]).reshape(n, h, f)
         w_r = params["w_l"] if self.share_weights else params["w_r"]
         s_r = jnp.dot(x, w_r).reshape(n, h, f)
-        if edge_map is not None:
+        if hybrid_tiles and attn_dropout is None:
+            from pygcn_tpu.ops.gat import gatv2_conv_hybrid
+
+            out = gatv2_conv_hybrid(
+                graph, tiles_t, s_l, s_r, params["a"], self.negative_slope,
+            )
+        elif edge_map is not None:
             from pygcn_tpu.ops.gat import gatv2_conv_ell
 
             out = gatv2_conv_ell(
@@ -193,11 +200,12 @@ class GAT(Module):
         dropout on layer inputs and attention coefficients (eval: omit).
         Pass ``edge_map`` (``ops.gat.build_edge_map``, needs the graph's ELL
         layout) to run softmax/aggregation on virtual rows — the fast path
-        for power-law graphs. ``hybrid_tiles=True`` (v1 only, graph built
-        with a hybrid ELL-residual layout, ``tiles_t`` from
+        for power-law graphs. ``hybrid_tiles=True`` (graph built with a
+        hybrid ELL-residual layout, ``tiles_t`` from
         ``ops.gat.build_gat_tiles_t``) runs tile edges through the fused
-        Pallas VMEM attention kernel; attention dropout falls back to the
-        slot path (input dropout still applies)."""
+        Pallas VMEM attention kernel (v1 and v2 variants); attention
+        dropout falls back to the slot path (input dropout still
+        applies)."""
         ch = self._children()
         drop = None
         if dropout_rng is not None and self.dropout > 0.0:
@@ -213,7 +221,7 @@ class GAT(Module):
 
             drop = drop_fn
         hk = {}
-        if hybrid_tiles and not self.v2:
+        if hybrid_tiles:
             hk = {"hybrid_tiles": True, "tiles_t": tiles_t}
         if drop is not None:
             x = drop(0, x)

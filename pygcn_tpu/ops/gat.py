@@ -627,16 +627,33 @@ def gatv2_conv_ell_onepass(
     so the exp/scale algebra runs f-replicated like v1."""
     ell = graph.ell
     n, h, f = s_l.shape
+    valids = [
+        eidx.reshape(rows.shape[0], -1) != em.sentinel
+        for eidx, rows in zip(em.eidx, ell.rows)
+    ]
+    num, den, _m = _ell_attn_partials_v2(
+        ell, s_l.reshape(n, h * f), s_r.reshape(n, h * f), a, h, f,
+        negative_slope, valids, attn_dropout,
+    )
+    return (num / jnp.maximum(den, 1e-16)).reshape(n, h, f)
+
+
+def _ell_attn_partials_v2(ell, sl2, sr2, a, h, f, negative_slope, valids,
+                          attn_dropout=None):
+    """Per-receiver GATv2 attention partials over an ELL layout's edges —
+    the v2 analog of :func:`_ell_attn_partials` (same return contract:
+    ``(num, den, m)``, all ``[N, H·F]`` with ``den``/``m`` f-replicated;
+    ``m`` is ``-inf`` where a receiver has no edge in this layout), so the
+    hybrid path can flash-merge residual partials with tile partials."""
+    n = sl2.shape[0]
     hf = h * f
     rep = lambda t: jnp.repeat(t, f, axis=-1)
-    sl2 = s_l.reshape(n, hf)
-    sr2 = s_r.reshape(n, hf)
 
     num_parts, den_parts, max_parts, vrows = [], [], [], []
-    for bi, (cols, eidx, rows) in enumerate(zip(ell.cols, em.eidx, ell.rows)):
+    for bi, (cols, rows, valid2) in enumerate(zip(ell.cols, ell.rows, valids)):
         nb = rows.shape[0]
         k = cols.size // nb
-        valid = eidx.reshape(nb, k)[..., None] != em.sentinel  # [nb, k, 1]
+        valid = valid2[..., None]  # [nb, k, 1]
         g = jnp.take(sl2, cols.reshape(-1), axis=0).reshape(nb, k, h, f)
         d = jnp.take(sr2, rows, axis=0).reshape(nb, 1, h, f)
         e = jnp.einsum(
@@ -658,12 +675,75 @@ def gatv2_conv_ell_onepass(
     r = jnp.concatenate(vrows, axis=0)
     bmax = jnp.concatenate(max_parts, axis=0)
     m = jax.ops.segment_max(bmax, r, num_segments=n)
-    m = jax.lax.stop_gradient(jnp.where(jnp.isfinite(m), m, 0.0))
-    scale = jnp.exp(bmax - jnp.take(m, r, axis=0))
+    shift_m = jax.lax.stop_gradient(jnp.where(jnp.isfinite(m), m, 0.0))
+    scale = jnp.exp(bmax - jnp.take(shift_m, r, axis=0))
     num = jax.ops.segment_sum(
         jnp.concatenate(num_parts, axis=0) * scale, r, num_segments=n
     )
     den = jax.ops.segment_sum(
         jnp.concatenate(den_parts, axis=0) * scale, r, num_segments=n
     )
+    return num, den, jax.lax.stop_gradient(m)
+
+
+def gatv2_conv_hybrid(
+    graph: Graph,
+    tiles_t,  # build_gat_tiles_t(graph) — exact transpose tiles (or None)
+    s_l: jax.Array,  # [N, H, F'] source transform (x @ W_l)
+    s_r: jax.Array,  # [N, H, F'] receiver transform (x @ W_r)
+    a: jax.Array,  # [H, F']
+    negative_slope: float = 0.2,
+) -> jax.Array:
+    """GATv2 convolution on the hybrid BCSR+ELL layout (VERDICT r3 #5):
+    tile edges run the fused Pallas v2 tile-attention kernel
+    (``ops/pallas/gat_tile_attn.gatv2_tile_partials`` — the per-edge-pair
+    F-reduction logit is an F-loop of broadcast FMAs in VMEM, and the
+    backward replaces the slot-gather scatters with receiver/sender
+    kernels over forward/transpose tiles), residual edges ride the
+    slot-native v2 one-pass; the exact softmax over the full neighborhood
+    is the rescaled flash merge of the two partial sets — the same
+    structure as v1's :func:`gat_conv_hybrid`.
+
+    Same constraints as v1: needs ``graph.hybrid`` with an ELL residual,
+    all-nonzero edge weights (checked by :func:`build_gat_tiles_t`), no
+    attention dropout on this path.
+    """
+    from pygcn_tpu.ops.ell import ELL
+    from pygcn_tpu.ops.pallas.gat_tile_attn import NEG, gatv2_tile_partials
+
+    hy = graph.hybrid
+    if hy is None:
+        raise ValueError("graph has no hybrid layout; build with build_hybrid=True")
+    if not isinstance(hy.ell, ELL):
+        raise ValueError(
+            "hybrid attention needs an ELL residual (hybrid_residual='ell')"
+        )
+    if hy.bcsr is not None and tiles_t is None:
+        raise ValueError("pass tiles_t=build_gat_tiles_t(graph)")
+    n, h, f = s_l.shape
+    rep = lambda t: jnp.repeat(t, f, axis=-1)
+    sl2 = s_l.reshape(n, h * f)
+    sr2 = s_r.reshape(n, h * f)
+
+    ell = hy.ell
+    valids = [
+        v.reshape(r.shape[0], -1) != 0 for v, r in zip(ell.vals, ell.rows)
+    ]
+    num_e, den_e, m_e = _ell_attn_partials_v2(
+        ell, sl2, sr2, a, h, f, negative_slope, valids
+    )
+    if hy.bcsr is None:
+        return (num_e / jnp.maximum(den_e, 1e-16)).reshape(n, h, f)
+
+    num_t, den_t, m_t = gatv2_tile_partials(
+        (h, f, negative_slope), hy.bcsr, tiles_t, sl2, sr2, a
+    )
+    m_t = rep(m_t)
+    den_t = rep(den_t)
+    m_comb = jax.lax.stop_gradient(jnp.maximum(m_t, m_e))
+    shift = jnp.where(m_comb > -1e29, m_comb, 0.0)
+    st = jnp.exp(m_t - shift)
+    se = jnp.exp(jnp.where(jnp.isfinite(m_e), m_e, NEG) - shift)
+    num = num_t * st + num_e * se
+    den = den_t * st + den_e * se
     return (num / jnp.maximum(den, 1e-16)).reshape(n, h, f)

@@ -526,3 +526,323 @@ def _tile_vjp_bwd(meta, res, cts):
 
 
 gat_tile_partials.defvjp(_tile_vjp_fwd, _tile_vjp_bwd)
+
+
+# --------------------------------------------------------------------- #
+# GATv2 tile attention (VERDICT r3 item 5)
+# --------------------------------------------------------------------- #
+#
+# v2's logit is not separable: e_h(v,u) = sum_f a[h,f] * leaky(sl[u,hf+f]
+# + sr[v,hf+f]) — an F-reduction per edge PAIR, where v1 only adds two
+# node scalars. Inside a tile this is still dense VPU math on contiguous
+# VMEM blocks: an F-loop of broadcast-add + leaky + scalar-fma builds the
+# [tm, tk] logit block per head (h*f fused elementwise chains per tile),
+# after which the flash accumulation/backward structure is identical to
+# v1. The gradient wrt the attention vector ``a`` is accumulated as a
+# per-receiver [tm, H*F] partial (da_part[v, hf] = sum_u de * leaky(pre));
+# the tiny [H, F] reduction happens outside the kernel — scalar stores
+# into a [H, F] output block are awkward in Mosaic, a full-lane partial
+# is free next to dsr's traffic.
+
+
+def _v2_logit(a_all, sr_block, slT_block, hh, f, slope):
+    """[tm, tk] v2 logit block for head ``hh`` (F-loop of scalar FMAs)."""
+    e = None
+    for ff in range(f):
+        idx = hh * f + ff
+        pre = sr_block[:, idx : idx + 1] + slT_block[idx : idx + 1, :]
+        term = a_all[hh, ff] * _leaky(pre, slope)
+        e = term if e is None else e + term
+    return e
+
+
+def _v2_fwd_kernel(h, f, slope, br_ref, bc_ref, mask_ref, a_ref, slT_ref,
+                   sr_ref, sagg_ref, num_ref, den_ref, max_ref):
+    i = pl.program_id(0)
+    prev = br_ref[jnp.maximum(i - 1, 0)]
+    first_of_row = jnp.logical_or(i == 0, br_ref[i] != prev)
+
+    @pl.when(first_of_row)
+    def _():
+        num_ref[...] = jnp.zeros_like(num_ref)
+        den_ref[...] = jnp.zeros_like(den_ref)
+        max_ref[...] = jnp.full_like(max_ref, NEG)
+
+    mask = mask_ref[0] != 0  # [tm, tk]
+    a_all = a_ref[...]
+    slT = slT_ref[...]
+    sr = sr_ref[...]
+    for hh in range(h):
+        e = _v2_logit(a_all, sr, slT, hh, f, slope)
+        neg = jnp.where(mask, e, NEG)
+        tmax = jnp.max(neg, axis=1, keepdims=True)  # [tm, 1]
+        m_old = max_ref[:, hh : hh + 1]
+        m_new = jnp.maximum(m_old, tmax)
+        ex = jnp.where(mask, jnp.exp(neg - m_new), 0.0)
+        corr = jnp.exp(m_old - m_new)
+        den_ref[:, hh : hh + 1] = den_ref[:, hh : hh + 1] * corr + jnp.sum(
+            ex, axis=1, keepdims=True
+        )
+        sl_h = sagg_ref[:, hh * f : (hh + 1) * f]  # [tk, F]
+        num_ref[:, hh * f : (hh + 1) * f] = num_ref[
+            :, hh * f : (hh + 1) * f
+        ] * corr + jnp.dot(ex, sl_h, preferred_element_type=jnp.float32)
+        max_ref[:, hh : hh + 1] = m_new
+
+
+def _v2_bwd_recv_kernel(h, f, slope, br_ref, bc_ref, mask_ref, a_ref,
+                        slT_ref, sr_ref, sagg_ref, m_ref, dnum_ref, dden_ref,
+                        dsr_ref, dapart_ref):
+    """Receiver-indexed v2 gradients over row-sorted forward tiles:
+    dsr[v, hf] and the per-receiver da partial (summed outside)."""
+    i = pl.program_id(0)
+    prev = br_ref[jnp.maximum(i - 1, 0)]
+    first_of_row = jnp.logical_or(i == 0, br_ref[i] != prev)
+
+    @pl.when(first_of_row)
+    def _():
+        dsr_ref[...] = jnp.zeros_like(dsr_ref)
+        dapart_ref[...] = jnp.zeros_like(dapart_ref)
+
+    mask = mask_ref[0] != 0
+    a_all = a_ref[...]
+    slT = slT_ref[...]
+    sr = sr_ref[...]
+    for hh in range(h):
+        e = _v2_logit(a_all, sr, slT, hh, f, slope)
+        m = m_ref[:, hh : hh + 1]
+        p = jnp.where(mask, jnp.exp(e - m), 0.0)  # [tm, tk]
+        gdot = jax.lax.dot_general(
+            dnum_ref[:, hh * f : (hh + 1) * f],  # [tm, F]
+            sagg_ref[:, hh * f : (hh + 1) * f],  # [tk, F]
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        de = p * (gdot + dden_ref[:, hh : hh + 1])  # [tm, tk]
+        for ff in range(f):
+            idx = hh * f + ff
+            pre = sr[:, idx : idx + 1] + slT[idx : idx + 1, :]
+            leak = _leaky(pre, slope)
+            grad_pre = de * (a_all[hh, ff] * jnp.where(pre >= 0, 1.0, slope))
+            dsr_ref[:, idx : idx + 1] += jnp.sum(grad_pre, axis=1,
+                                                 keepdims=True)
+            dapart_ref[:, idx : idx + 1] += jnp.sum(de * leak, axis=1,
+                                                    keepdims=True)
+
+
+def _v2_bwd_send_kernel(h, f, slope, br_ref, bc_ref, mask_ref, a_ref,
+                        sl_ref, srT_ref, mT_ref, dnum_ref, ddenT_ref,
+                        dsl_ref):
+    """Sender-indexed v2 gradients over TRANSPOSE tiles (rows u = senders,
+    cols v = receivers): the aggregation term sum_v p_uv dnum_v plus the
+    logit term through leaky'."""
+    i = pl.program_id(0)
+    prev = br_ref[jnp.maximum(i - 1, 0)]
+    first_of_row = jnp.logical_or(i == 0, br_ref[i] != prev)
+
+    @pl.when(first_of_row)
+    def _():
+        dsl_ref[...] = jnp.zeros_like(dsl_ref)
+
+    mask = mask_ref[0] != 0  # [tm(u), tk(v)]
+    a_all = a_ref[...]
+    sl = sl_ref[...]
+    srT = srT_ref[...]
+    for hh in range(h):
+        e = None
+        for ff in range(f):
+            idx = hh * f + ff
+            pre = sl[:, idx : idx + 1] + srT[idx : idx + 1, :]
+            term = a_all[hh, ff] * _leaky(pre, slope)
+            e = term if e is None else e + term
+        m = mT_ref[hh : hh + 1, :]  # [1, tk]
+        p = jnp.where(mask, jnp.exp(e - m), 0.0)  # [tm, tk]
+        dnum_h = dnum_ref[:, hh * f : (hh + 1) * f]  # [tk, F]
+        # aggregation term: dsl_u += sum_v p_uv * dnum_v
+        dsl_ref[:, hh * f : (hh + 1) * f] += jnp.dot(
+            p, dnum_h, preferred_element_type=jnp.float32
+        )
+        gdot = jax.lax.dot_general(
+            sl[:, hh * f : (hh + 1) * f],  # [tm, F]
+            dnum_h,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        de = p * (gdot + ddenT_ref[hh : hh + 1, :])
+        for ff in range(f):
+            idx = hh * f + ff
+            pre = sl[:, idx : idx + 1] + srT[idx : idx + 1, :]
+            grad_pre = de * (a_all[hh, ff] * jnp.where(pre >= 0, 1.0, slope))
+            dsl_ref[:, idx : idx + 1] += jnp.sum(grad_pre, axis=1,
+                                                 keepdims=True)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def gatv2_tile_partials(meta, bcsr, bcsr_t, sl2, sr2, a):
+    """Per-receiver GATv2 attention partials over the dense-tile edges.
+
+    ``meta = (h, f, slope)``; ``sl2``/``sr2``: ``[N, H·F]`` source/receiver
+    transforms (``sl2`` is also the aggregated feature, GATv2 semantics);
+    ``a``: ``[H, F]`` attention vector. Returns ``(num [N, H·F],
+    den [N, H], m [N, H])``; ``m`` non-differentiable (safe-softmax)."""
+    return _v2_fwd_impl(meta, bcsr, sl2, sr2, a)
+
+
+def _v2_fwd_impl(meta, bcsr, sl2, sr2, a):
+    h, f, slope = meta
+    n = sl2.shape[0]
+    tm, tk = bcsr.tm, bcsr.tk
+    hf = h * f
+    n_pad = bcsr.n_block_cols * tk
+    pad = n_pad - n
+
+    def padded(x):
+        return jnp.pad(x, ((0, pad), (0, 0))) if pad else x
+
+    sl_p = padded(sl2)
+    sr_p = padded(sr2)
+    t = bcsr.data.shape[0]
+    n_rows_pad = bcsr.n_block_rows * tm
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(t,),
+        in_specs=[
+            pl.BlockSpec((1, tm, tk), lambda i, br, bc: (i, 0, 0)),
+            pl.BlockSpec((h, f), lambda i, br, bc: (0, 0)),
+            pl.BlockSpec((hf, tk), lambda i, br, bc: (0, bc[i])),
+            pl.BlockSpec((tm, hf), lambda i, br, bc: (br[i], 0)),
+            pl.BlockSpec((tk, hf), lambda i, br, bc: (bc[i], 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((tm, hf), lambda i, br, bc: (br[i], 0)),
+            pl.BlockSpec((tm, h), lambda i, br, bc: (br[i], 0)),
+            pl.BlockSpec((tm, h), lambda i, br, bc: (br[i], 0)),
+        ],
+    )
+    num, den, mx = pl.pallas_call(
+        functools.partial(_v2_fwd_kernel, h, f, slope),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_rows_pad, hf), jnp.float32),
+            jax.ShapeDtypeStruct((n_rows_pad, h), jnp.float32),
+            jax.ShapeDtypeStruct((n_rows_pad, h), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=t * h * tm * tk * (4 * f + 8 + 2 * f),
+            bytes_accessed=(t * (tm * tk + 2 * tk * hf + 2 * tm * hf)) * 4,
+            transcendentals=2 * t * h * tm * tk,
+        ),
+        interpret=_interpret(),
+    )(bcsr.block_rows, bcsr.block_cols, bcsr.data, a, sl_p.T, sr_p, sl_p)
+    return num[:n], den[:n], mx[:n]
+
+
+def _v2_vjp_fwd(meta, bcsr, bcsr_t, sl2, sr2, a):
+    num, den, mx = _v2_fwd_impl(meta, bcsr, sl2, sr2, a)
+    return (num, den, mx), (bcsr, bcsr_t, sl2, sr2, a, mx)
+
+
+def _v2_vjp_bwd(meta, res, cts):
+    h, f, slope = meta
+    bcsr, bcsr_t, sl2, sr2, a, mx = res
+    dnum, dden, _dm = cts
+    n = sl2.shape[0]
+    hf = h * f
+    tm, tk = bcsr.tm, bcsr.tk
+    if tm != tk or bcsr_t.tm != bcsr_t.tk:
+        raise ValueError(
+            "gatv2_tile_partials backward requires square tiles (tm == tk)"
+        )
+
+    def padded(x, rows):
+        p = rows - x.shape[0]
+        return jnp.pad(x, ((0, p), (0, 0))) if p else x
+
+    n_pad = bcsr.n_block_cols * tk
+    sl_p = padded(sl2, n_pad)
+    sr_p = padded(sr2, n_pad)
+    m_p = padded(mx, n_pad)
+    dnum_p = padded(dnum, n_pad)
+    dden_p = padded(dden, n_pad)
+    t = bcsr.data.shape[0]
+    n_rows_pad = bcsr.n_block_rows * tm
+
+    grid1 = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(t,),
+        in_specs=[
+            pl.BlockSpec((1, tm, tk), lambda i, br, bc: (i, 0, 0)),
+            pl.BlockSpec((h, f), lambda i, br, bc: (0, 0)),
+            pl.BlockSpec((hf, tk), lambda i, br, bc: (0, bc[i])),
+            pl.BlockSpec((tm, hf), lambda i, br, bc: (br[i], 0)),
+            pl.BlockSpec((tk, hf), lambda i, br, bc: (bc[i], 0)),
+            pl.BlockSpec((tm, h), lambda i, br, bc: (br[i], 0)),
+            pl.BlockSpec((tm, hf), lambda i, br, bc: (br[i], 0)),
+            pl.BlockSpec((tm, h), lambda i, br, bc: (br[i], 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((tm, hf), lambda i, br, bc: (br[i], 0)),
+            pl.BlockSpec((tm, hf), lambda i, br, bc: (br[i], 0)),
+        ],
+    )
+    dsr, dapart = pl.pallas_call(
+        functools.partial(_v2_bwd_recv_kernel, h, f, slope),
+        grid_spec=grid1,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_rows_pad, hf), jnp.float32),
+            jax.ShapeDtypeStruct((n_rows_pad, hf), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=t * h * tm * tk * (8 * f + 10 + 2 * f),
+            bytes_accessed=(t * (tm * tk + 2 * tk * hf + 4 * tm * hf)) * 4,
+            transcendentals=t * h * tm * tk,
+        ),
+        interpret=_interpret(),
+    )(bcsr.block_rows, bcsr.block_cols, bcsr.data, a, sl_p.T, sr_p, sl_p,
+      m_p, dnum_p, dden_p)
+    dsr = dsr[:n]
+    da = dapart.sum(axis=0).reshape(h, f)
+
+    tt = bcsr_t.data.shape[0]
+    tmt, tkt = bcsr_t.tm, bcsr_t.tk
+    n_pad_t = bcsr_t.n_block_cols * tkt
+    sl_t = padded(sl2, n_pad_t)
+    sr_t = padded(sr2, n_pad_t)
+    m_t = padded(mx, n_pad_t)
+    dnum_t = padded(dnum, n_pad_t)
+    dden_t = padded(dden, n_pad_t)
+    grid2 = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(tt,),
+        in_specs=[
+            pl.BlockSpec((1, tmt, tkt), lambda i, br, bc: (i, 0, 0)),
+            pl.BlockSpec((h, f), lambda i, br, bc: (0, 0)),
+            pl.BlockSpec((tmt, hf), lambda i, br, bc: (br[i], 0)),
+            pl.BlockSpec((hf, tkt), lambda i, br, bc: (0, bc[i])),
+            pl.BlockSpec((h, tkt), lambda i, br, bc: (0, bc[i])),
+            pl.BlockSpec((tkt, hf), lambda i, br, bc: (bc[i], 0)),
+            pl.BlockSpec((h, tkt), lambda i, br, bc: (0, bc[i])),
+        ],
+        out_specs=pl.BlockSpec((tmt, hf), lambda i, br, bc: (br[i], 0)),
+    )
+    dsl = pl.pallas_call(
+        functools.partial(_v2_bwd_send_kernel, h, f, slope),
+        grid_spec=grid2,
+        out_shape=jax.ShapeDtypeStruct((bcsr_t.n_block_rows * tmt, hf),
+                                       jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=tt * h * tmt * tkt * (8 * f + 10 + 4 * f),
+            bytes_accessed=(tt * (tmt * tkt + 2 * tkt * hf + 3 * tmt * hf)) * 4,
+            transcendentals=tt * h * tmt * tkt,
+        ),
+        interpret=_interpret(),
+    )(bcsr_t.block_rows, bcsr_t.block_cols, bcsr_t.data, a, sl_t, sr_t.T,
+      m_t.T, dnum_t, dden_t.T)
+    dsl = dsl[:n]
+
+    zeros = lambda e: jax.tree.map(jnp.zeros_like, e)
+    return zeros(bcsr), zeros(bcsr_t), dsl, dsr, da
+
+
+gatv2_tile_partials.defvjp(_v2_vjp_fwd, _v2_vjp_bwd)

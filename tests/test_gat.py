@@ -548,3 +548,65 @@ def test_gat_hybrid_streamed_variant_matches():
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(g_st), np.asarray(g_rv),
                                rtol=2e-3, atol=1e-4)
+
+
+def test_gatv2_hybrid_matches_coo_path():
+    """gatv2_conv_hybrid (Pallas v2 tile attention + slot-native residual,
+    flash-merged) == the COO v2 softmax/aggregate reference, values AND
+    gradients (incl. the attention vector ``a``), symmetric and asymmetric
+    tile sets (VERDICT r3 #5)."""
+    from pygcn_tpu.ops.gat import (build_gat_tiles_t, gatv2_attention,
+                                   gatv2_conv_hybrid)
+
+    for symmetric in (False, True):
+        g, _ = _clustered_graph(symmetric=symmetric)
+        tiles_t = build_gat_tiles_t(g)
+        rng = np.random.default_rng(31)
+        n = g.n_nodes
+        h, f = 2, 4
+        s_l = jnp.asarray(rng.normal(size=(n, h, f)).astype(np.float32))
+        s_r = jnp.asarray(rng.normal(size=(n, h, f)).astype(np.float32))
+        a = jnp.asarray(rng.normal(size=(h, f)).astype(np.float32))
+
+        alpha_ref = gatv2_attention(g, s_l, s_r, a)
+        out_ref = attention_aggregate(g, s_l, alpha_ref)
+        out_h = gatv2_conv_hybrid(g, tiles_t, s_l, s_r, a)
+        np.testing.assert_allclose(np.asarray(out_h), np.asarray(out_ref),
+                                   rtol=2e-4, atol=2e-5)
+
+        def loss_ref(sl, sr, av):
+            al = gatv2_attention(g, sl, sr, av)
+            return (attention_aggregate(g, sl, al) ** 2).sum()
+
+        def loss_h(sl, sr, av):
+            return (gatv2_conv_hybrid(g, tiles_t, sl, sr, av) ** 2).sum()
+
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2))(s_l, s_r, a)
+        gh = jax.grad(loss_h, argnums=(0, 1, 2))(s_l, s_r, a)
+        for got, want in zip(gh, gr):
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       rtol=4e-3, atol=3e-4)
+
+
+def test_gatv2_hybrid_model_path():
+    """GAT(v2=True).apply(hybrid_tiles=True) runs the fused v2 tile kernel
+    end-to-end through the 2-layer model and matches the edge_map path."""
+    from pygcn_tpu.nn.gat import GAT
+    from pygcn_tpu.ops.gat import build_edge_map, build_gat_tiles_t
+
+    g, m = _clustered_graph(symmetric=True)
+    gell = Graph.from_scipy(
+        m.astype(np.float32), is_symmetric=True, build_dense=False,
+        build_bcsr=False, build_ell=True, build_hybrid=True,
+        hybrid_min_edges_per_tile=64,
+    )
+    tiles_t = build_gat_tiles_t(gell)
+    em = build_edge_map(gell)
+    x = jnp.asarray(
+        np.random.default_rng(7).normal(size=(g.n_nodes, 12)).astype(np.float32))
+    model = GAT(nfeat=12, nhid=4, nclass=5, heads=2, v2=True)
+    params = model.init(jax.random.key(0))
+    out_t = model.apply(params, x, gell, hybrid_tiles=True, tiles_t=tiles_t)
+    out_e = model.apply(params, x, gell, edge_map=em)
+    np.testing.assert_allclose(np.asarray(out_t), np.asarray(out_e),
+                               rtol=3e-4, atol=3e-5)
