@@ -63,6 +63,11 @@ def main(argv=None):
                          "(locality_order) before training, so contiguous "
                          "row shards own communities — what makes "
                          "--align_seeds pay on real graphs")
+    ap.add_argument("--eval_every", type=int, default=0,
+                    help="evaluate val accuracy every N epochs (0 = only "
+                         "the final test eval) — the convergence-run "
+                         "reporting mirrors the reference's per-epoch val "
+                         "loop (gnn-over-mlp.py:317-331)")
     ap.add_argument("--out_dir", default=None,
                     help="write checkpoint_last.pkl per epoch (and on "
                          "SIGTERM/SIGINT preemption) for --resume")
@@ -308,6 +313,21 @@ def main(argv=None):
                         jnp.asarray(y_all[seeds]),
                     )
                 n_batches += 1
+            if args.eval_every and (epoch + 1) % args.eval_every == 0:
+                vb = sampler.sample(np.asarray(data.idx_val))
+                vlogits = fwd(
+                    params,
+                    SampledBatch(blocks=vb.blocks, input_nodes=None,
+                                 output_nodes=None),
+                    jnp.asarray(
+                        np.asarray(data.features)[vb.input_nodes]),
+                )
+                va = float((np.asarray(vlogits).argmax(1)
+                            == y_all[data.idx_val]).mean())
+                print(f"epoch {epoch}: loss={float(loss):.4f} "
+                      f"val_acc={va:.4f} "
+                      f"({(time.time() - t0) / n_batches * 1e3:.1f} "
+                      "ms/batch cum.)", flush=True)
             if ckpt_last:  # epoch boundary: resumable even after a hard crash
                 save_checkpoint_state(params, epoch + 1, opt_state, {}, ckpt_last)
         loss_val = float(loss)
