@@ -44,6 +44,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--case", required=True)
     ap.add_argument("--pw", type=int, default=65536)
+    ap.add_argument("--met", type=int, default=64,
+                    help="hybrid min_edges_per_tile for the split (64 uses "
+                    "the cached r3 split; other values re-split inline)")
+    ap.add_argument("--budget_gb", type=float, default=2.0,
+                    help="tile budget in f32-GB for re-splits (bf16 halves "
+                    "the device bytes)")
     args = ap.parse_args()
     case = args.case
 
@@ -87,13 +93,41 @@ def main():
         return
 
     # composite cases
-    z = np.load("/tmp/products_split.npz")
-    n = int(z["n"])
-    tcoo = sp.coo_matrix((z["tdata"], (z["trow"], z["tcol"])), shape=(n, n))
-    rcsc = sp.csc_matrix((z["rdata"], (z["rrow"], z["rcol"])), shape=(n, n))
+    if args.met == 64:
+        z = np.load("/tmp/products_split.npz")
+        n = int(z["n"])
+        tcoo = sp.coo_matrix((z["tdata"], (z["trow"], z["tcol"])), shape=(n, n))
+        rcsc = sp.csc_matrix((z["rdata"], (z["rrow"], z["rcol"])), shape=(n, n))
+        del z
+    else:
+        # re-split at the requested min_edges_per_tile from the LP cache
+        # (bf16 tiles are ~free at products scale — real_bf16 probe:
+        # 0.61 us/tile — so a LOWER met moves residual edges onto tiles)
+        z = np.load("/tmp/products_lp.npz")
+        n = int(z["n"])
+        row, col, data = z["row"], z["col"], z["data"]
+        del z
+        n_block_cols = -(-n // 128)
+        tile_ids = (row // 128).astype(np.int64) * n_block_cols + col // 128
+        uniq, inverse, counts = np.unique(tile_ids, return_inverse=True,
+                                          return_counts=True)
+        qualifies = counts >= args.met
+        max_tiles = int(args.budget_gb * (1 << 30)) // (128 * 128 * 4)
+        if int(qualifies.sum()) > max_tiles:
+            order = np.argsort(-counts)
+            keep = np.zeros_like(qualifies)
+            keep[order[qualifies[order]][:max_tiles]] = True
+            qualifies = keep
+        dense_tile = qualifies[inverse]
+        tcoo = sp.coo_matrix(
+            (data[dense_tile], (row[dense_tile], col[dense_tile])),
+            shape=(n, n))
+        rcsc = sp.csc_matrix(
+            (data[~dense_tile], (row[~dense_tile], col[~dense_tile])),
+            shape=(n, n))
+        del row, col, data, tile_ids, uniq, inverse, counts, dense_tile
     tile_edges, resid_edges = int(tcoo.nnz), int(rcsc.nnz)
     n_edges = tile_edges + resid_edges
-    del z
     gc.collect()
 
     bf16 = "bf16" in case
