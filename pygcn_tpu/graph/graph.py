@@ -128,6 +128,7 @@ class Graph:
         hybrid_min_edges_per_tile: int = 128,
         hybrid_tile_budget_bytes: Optional[int] = 512 * 1024**2,
         hybrid_residual: str = "ell",
+        hybrid_tile_dtype=None,
         ell_ks: tuple[int, ...] = (4, 8, 16, 32, 64, 128, 256),
         tile: tuple[int, int] = (128, 128),
         bcsr_budget_bytes: int = 2 * 1024**3,
@@ -218,11 +219,13 @@ class Graph:
                 coo, tile, hybrid_min_edges_per_tile, ell_ks,
                 tile_budget_bytes=hybrid_tile_budget_bytes,
                 residual=hybrid_residual, panel_width=panel_width,
+                tile_dtype=hybrid_tile_dtype,
             )
             hybrid_t = hybrid if is_symmetric else _mk_hybrid(
                 coo.T.tocoo(), tile, hybrid_min_edges_per_tile, ell_ks,
                 tile_budget_bytes=hybrid_tile_budget_bytes,
                 residual=hybrid_residual, panel_width=panel_width,
+                tile_dtype=hybrid_tile_dtype,
             )
 
         # Diagonal-panel ELL: small gather tables for the near-diagonal
@@ -256,6 +259,7 @@ class Graph:
             ("hybrid_min_edges_per_tile", hybrid_min_edges_per_tile),
             ("hybrid_tile_budget_bytes", hybrid_tile_budget_bytes),
             ("hybrid_residual", hybrid_residual),
+            ("hybrid_tile_dtype", hybrid_tile_dtype),
             ("ell_ks", tuple(ell_ks)),
             ("tile", tuple(tile)),
             ("bcsr_budget_bytes", bcsr_budget_bytes),

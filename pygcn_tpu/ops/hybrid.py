@@ -47,6 +47,7 @@ def build_hybrid(
     tile_budget_bytes: Optional[int] = None,
     residual: str = "ell",
     panel_width: int = 65536,
+    tile_dtype=None,
 ) -> HybridLayout:
     """Route tiles with ≥ ``min_edges_per_tile`` edges to BCSR, rest to ELL.
 
@@ -88,6 +89,15 @@ def build_hybrid(
             shape=coo.shape,
         )
         bcsr = _build_bcsr(dense_part, tile)
+        if tile_dtype is not None:
+            # bf16 tile storage: 13x on the products-scale kernel and half
+            # the HBM working set (PERF_NOTES r4); the kernel keeps an f32
+            # MXU accumulator, so the only loss is input rounding (~2e-3
+            # relative on normalized adjacency weights).
+            import dataclasses
+
+            bcsr = dataclasses.replace(
+                bcsr, data=bcsr.data.astype(jnp.dtype(tile_dtype)))
         rest_mask = ~dense_tile
     else:
         rest_mask = np.ones(coo.nnz, bool)

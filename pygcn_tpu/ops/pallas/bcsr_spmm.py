@@ -81,6 +81,13 @@ def bcsr_spmm(bcsr: BCSR, x: jax.Array, *, n_rows: int, out_dtype=None) -> jax.A
     t = bcsr.data.shape[0]
     h = x.shape[1]
     hn = -(-h // TN)
+    if bcsr.data.dtype == jnp.bfloat16 and x.dtype == jnp.float32:
+        # bf16-stored tiles (the measured products-scale layout: 13x over
+        # f32, PERF_NOTES r4): run the MXU in its native bf16 mode with an
+        # f32 accumulator — cast x down, keep the output f32.
+        if out_dtype is None:
+            out_dtype = jnp.float32
+        x = x.astype(jnp.bfloat16)
     if out_dtype is None:
         out_dtype = x.dtype
 

@@ -503,3 +503,26 @@ def test_bcsr_spmm_bf16_inputs_f32_accumulate():
     assert y16.dtype == jnp.float32
     err = np.abs(np.asarray(y16) - ref).max() / np.abs(ref).max()
     assert err < 0.02  # only input-rounding error, not bf16 accumulation
+
+
+def test_hybrid_bf16_tile_storage_matches_dense():
+    """hybrid_tile_dtype=bfloat16 stores BCSR tiles bf16 (the measured
+    products-scale layout, 13x over f32 — PERF_NOTES r4); the kernel casts
+    x down and accumulates f32, so values stay within input-rounding error
+    and gradients keep flowing through the pair VJP."""
+    g, a = random_graph(build_dense=False, build_bcsr=False, build_ell=True,
+                        build_hybrid=True, hybrid_min_edges_per_tile=32,
+                        hybrid_tile_dtype="bfloat16")
+    assert g.hybrid.bcsr is not None
+    assert g.hybrid.bcsr.data.dtype == jnp.bfloat16
+    x = jax.random.normal(jax.random.key(0), (g.n_nodes, 32))
+    out = spmm(g, x, impl="hybrid")
+    assert out.dtype == jnp.float32
+    ref = a @ np.asarray(x)
+    err = np.abs(np.asarray(out) - ref).max() / np.abs(ref).max()
+    assert err < 0.02
+    ct = jax.random.normal(jax.random.key(1), (g.n_nodes, 32))
+    _, vjp = jax.vjp(lambda v: spmm(g, v, impl="hybrid"), x)
+    (dx,) = vjp(ct)
+    err = np.abs(np.asarray(dx) - a.T @ np.asarray(ct)).max() / np.abs(ref).max()
+    assert err < 0.02
