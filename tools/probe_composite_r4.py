@@ -153,15 +153,29 @@ def main():
         tile_mb=tiles * 128 * 128 * (2 if bf16 else 4) / 2**20,
         built_s=time.time() - t0)
 
-    def tiles_step(v, bb):
-        vin = v.astype(jnp.bfloat16) if bf16 else v
-        y = bcsr_spmm(bb, vin, n_rows=n, out_dtype=jnp.float32)
+    # "pre" variant: materialize the bf16 copy of x ONCE (0.6 GB resident,
+    # passed as a jit ARGUMENT — closure constants 413 on the tunnel) so
+    # the tiles phase reads it directly — the per-iteration f32->bf16 cast
+    # inside the loop reads 1.25 GB + writes 0.6 GB per step and may
+    # itself be subject to the co-residency stall.
+    x16 = None
+    if bf16 and "pre" in case:
+        x16 = x.astype(jnp.bfloat16)
+        x16.block_until_ready()
+
+    def tiles_step(v, bb, *xx):
+        if xx:
+            y = bcsr_spmm(bb, xx[0], n_rows=n, out_dtype=jnp.float32)
+        else:
+            vin = v.astype(jnp.bfloat16) if bf16 else v
+            y = bcsr_spmm(bb, vin, n_rows=n, out_dtype=jnp.float32)
         return v + 1e-30 * jnp.sum(y)
 
     def resid_step(v, c):
         return v + 1e-30 * jnp.sum(col_panel_spmm_raw(c, v))
 
-    order = [("tiles", tiles_step, (b,)), ("resid", resid_step, (cp,))]
+    tiles_extra = (b, x16) if x16 is not None else (b,)
+    order = [("tiles", tiles_step, tiles_extra), ("resid", resid_step, (cp,))]
     if case.endswith("xf32"):
         order = order[::-1]
 
