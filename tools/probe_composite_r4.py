@@ -174,6 +174,22 @@ def main():
     def resid_step(v, c):
         return v + 1e-30 * jnp.sum(col_panel_spmm_raw(c, v))
 
+    if "fused" in case:
+        # ONE jit: tiles + residual + add (the r3 f32 attempt SIGKILLed the
+        # tunnel compile helper; bf16 halves the tile constants and this
+        # retries it — a pass here unlocks the fused train step)
+        def fused_step(v, bb, c):
+            vin = v.astype(jnp.bfloat16) if bf16 else v
+            y = bcsr_spmm(bb, vin, n_rows=n, out_dtype=jnp.float32)
+            y = y + col_panel_spmm_raw(c, v)
+            return v + 1e-30 * jnp.sum(y)
+
+        t = time_chained(fused_step, x, iters=8, reps=2, args=(b, cp))
+        log(case=case, composite_t_ms=t * 1e3, edges_per_s=n_edges / t,
+            fused=True, target_200M_ms=n_edges / 200e6 * 1e3)
+        log(stage="done")
+        return
+
     tiles_extra = (b, x16) if x16 is not None else (b,)
     order = [("tiles", tiles_step, tiles_extra), ("resid", resid_step, (cp,))]
     if case.endswith("xf32"):
