@@ -97,17 +97,30 @@ def main(argv=None):
     t0 = time.time()
     data = None
     if args.clustered:
+        import os
+
         from pygcn_tpu.graph.datasets import community_classification
         from pygcn_tpu.parallel.partition import locality_order, reorder_dataset
 
-        data = community_classification(
-            n=args.n_nodes, avg_degree=args.avg_degree,
-            n_classes=args.n_classes, feat_dim=args.feat_dim, seed=args.seed,
-            build_dense=False, build_bcsr=False, build_ell=False,
-            build_hybrid=False, build_colpanel=False,  # pre-LP-order: layouts
-        )  # on shuffled ids would be rebuilt anyway (auto-policy runs below)
-        perm = locality_order(data.graph, "auto")
-        data = reorder_dataset(data, perm)
+        if args.npz and os.path.exists(args.npz):
+            # pre-built LP-ordered convergence dataset (tools/
+            # products_ds_cache.py): skip the ~6 min host pipeline and go
+            # straight to the layout rebuild below
+            from pygcn_tpu.graph.datasets import load_npz_dataset
+
+            data = load_npz_dataset(
+                args.npz, build_dense=False, build_bcsr=False,
+                build_ell=False, build_hybrid=False, build_colpanel=False)
+        else:
+            data = community_classification(
+                n=args.n_nodes, avg_degree=args.avg_degree,
+                n_classes=args.n_classes, feat_dim=args.feat_dim,
+                seed=args.seed,
+                build_dense=False, build_bcsr=False, build_ell=False,
+                build_hybrid=False, build_colpanel=False,  # pre-LP-order:
+            )  # layouts on shuffled ids would be rebuilt anyway (below)
+            perm = locality_order(data.graph, "auto")
+            data = reorder_dataset(data, perm)
         # rebuild compute layouts on the LP-ordered ids. The layout choice
         # itself is the Graph.from_coo auto-policy (hybrid MXU tiles in the
         # mid band, ColPanelELL above ~1M rows — PERF_NOTES.md); only model/
@@ -123,7 +136,14 @@ def main(argv=None):
         if args.model in ("gat", "gatv2"):
             kw.update(build_ell=True, build_hybrid=args.shards == 1,
                       build_colpanel=False)
-        data.graph = Graph.from_scipy(coo, **kw)
+        # build layouts host-side, then one device_put: on the axon tunnel
+        # (45 MB/s host->device) products-scale builds must not round-trip
+        # intermediate arrays (CLAUDE.md)
+        with jax.default_device(jax.devices("cpu")[0]):
+            g_host = Graph.from_scipy(coo, **kw)
+        del coo
+        data.graph = jax.device_put(g_host)
+        del g_host
         print(f"clustered pipeline: LP order + layouts built in "
               f"{time.time() - t0:.1f}s"
               + (f", tile_frac="
