@@ -301,12 +301,26 @@ def sbm_classification(
     labels = rng.integers(0, n_classes, n).astype(np.int32)
 
     e_target = int(n * avg_degree / 2)
-    src = rng.integers(0, n, 3 * e_target)
-    dst = rng.integers(0, n, 3 * e_target)
-    same = labels[src] == labels[dst]
-    keep = np.where(same, rng.uniform(size=src.size) < homophily,
-                    rng.uniform(size=src.size) < (1 - homophily))
-    keep &= src != dst
+    # Sample edge ENDPOINTS so the edge homophily equals ``homophily`` for
+    # any class count. Filtering random pairs with P(keep|same)=h,
+    # P(keep|diff)=1-h only works for C=2: random pairs are same-class
+    # with prob 1/C, so for large C the cross-class majority swamps the
+    # same-class edges (at 41 classes, "h=0.9" produced 82% cross-class
+    # edges and an unlearnable aggregation signal — caught by the r4
+    # Reddit-config convergence run). Instead: each edge is same-class
+    # with prob h; same-class partners are drawn within the source's
+    # class via the label-sorted node table.
+    by_label = np.argsort(labels, kind="stable")
+    counts = np.bincount(labels, minlength=n_classes)
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+    n_cand = int(1.1 * e_target) + 16
+    src = rng.integers(0, n, n_cand)
+    is_same = rng.uniform(size=n_cand) < homophily
+    c = labels[src]
+    within = (offsets[c] + rng.integers(0, np.maximum(counts[c], 1))).astype(
+        np.int64)
+    dst = np.where(is_same, by_label[within], rng.integers(0, n, n_cand))
+    keep = src != dst
     src, dst = src[keep][:e_target], dst[keep][:e_target]
     adj = sp.coo_matrix((np.ones(src.size, np.float32), (src, dst)), shape=(n, n))
 
