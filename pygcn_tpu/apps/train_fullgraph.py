@@ -65,6 +65,14 @@ def main(argv=None):
     ap.add_argument("--max_epochs", type=int, default=200,
                     help="with --clustered: epoch cap for the early-stopped "
                          "convergence run")
+    ap.add_argument("--eval_every", type=int, default=1,
+                    help="with --clustered: run the val forward every N "
+                         "epochs (at products scale the full-graph predict "
+                         "is a sizable fraction of the epoch)")
+    ap.add_argument("--max_wall_s", type=float, default=None,
+                    help="with --clustered: stop cleanly after this much "
+                         "wall-clock and still report best-val/test — for "
+                         "runs driven under an external timeout")
     ap.add_argument("--npz", default=None,
                     help="train on a real dataset in the .npz interchange "
                          "format (graph.datasets.load_npz_dataset) instead of "
@@ -397,21 +405,30 @@ def _run_convergence(args, graph, data, run_step, state, predict):
     best_val, best_epoch, test_at_best = -1.0, 0, 0.0
     train_s = 0.0
     epochs = 0
+    eval_every = max(1, getattr(args, "eval_every", 1))
+    max_wall = getattr(args, "max_wall_s", None)
     for ep in range(args.max_epochs):
         t1 = time.time()
         *state, loss = run_step(state)
         loss_v = float(loss)  # forces completion
         train_s += time.time() - t1
         epochs += 1
-        preds = device_preds(state)
-        va = float((preds[idx_val] == labels[idx_val]).mean())
-        if va > best_val:
-            best_val, best_epoch = va, ep
-            test_at_best = float((preds[idx_test] == labels[idx_test]).mean())
-        if ep % 10 == 0:
-            print(f"epoch {ep}: loss={loss_v:.4f} val={va:.4f} "
-                  f"(best {best_val:.4f} @ {best_epoch})")
+        out_of_time = (max_wall is not None
+                       and time.time() - t_wall > max_wall)
+        if ep % eval_every == 0 or out_of_time or ep == args.max_epochs - 1:
+            preds = device_preds(state)
+            va = float((preds[idx_val] == labels[idx_val]).mean())
+            if va > best_val:
+                best_val, best_epoch = va, ep
+                test_at_best = float(
+                    (preds[idx_test] == labels[idx_test]).mean())
+            if ep % 10 == 0 or out_of_time:
+                print(f"epoch {ep}: loss={loss_v:.4f} val={va:.4f} "
+                      f"(best {best_val:.4f} @ {best_epoch})")
         if ep - best_epoch >= args.patience:
+            break
+        if out_of_time:
+            print(f"wall budget {max_wall:.0f}s reached at epoch {ep}")
             break
     total = time.time() - t_wall
     print(f"converged: best val={best_val:.4f} test={test_at_best:.4f} "
