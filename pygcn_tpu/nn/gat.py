@@ -54,11 +54,20 @@ class GATConv(Module):
 
     def apply(self, params, x: jax.Array, graph: Graph,
               attn_dropout=None, edge_map=None, hybrid_tiles=False,
-              tiles_t=None) -> jax.Array:
+              tiles_t=None, colpanel=False) -> jax.Array:
         n = x.shape[0]
         h, f = self.heads, self.out_features
         s = jnp.dot(x, params["w"]).reshape(n, h, f)
-        if hybrid_tiles and attn_dropout is None:
+        if colpanel:
+            # multi-million-row path: panel-sliced small-table gathers
+            # (ops/gat_colpanel; run check_gat_colpanel(graph) once host-side)
+            from pygcn_tpu.ops.gat_colpanel import gat_conv_colpanel
+
+            out = gat_conv_colpanel(
+                graph, s, params["a_src"], params["a_dst"],
+                self.negative_slope, attn_dropout=attn_dropout,
+            )
+        elif hybrid_tiles and attn_dropout is None:
             # Pallas tile attention + ELL residual (ops/gat.gat_conv_hybrid);
             # attention dropout is unsupported there — fall through to the
             # slot path when training with it.
@@ -125,13 +134,20 @@ class GATv2Conv(Module):
 
     def apply(self, params, x: jax.Array, graph: Graph,
               attn_dropout=None, edge_map=None, hybrid_tiles=False,
-              tiles_t=None) -> jax.Array:
+              tiles_t=None, colpanel=False) -> jax.Array:
         n = x.shape[0]
         h, f = self.heads, self.out_features
         s_l = jnp.dot(x, params["w_l"]).reshape(n, h, f)
         w_r = params["w_l"] if self.share_weights else params["w_r"]
         s_r = jnp.dot(x, w_r).reshape(n, h, f)
-        if hybrid_tiles and attn_dropout is None:
+        if colpanel:
+            from pygcn_tpu.ops.gat_colpanel import gatv2_conv_colpanel
+
+            out = gatv2_conv_colpanel(
+                graph, s_l, s_r, params["a"], self.negative_slope,
+                attn_dropout=attn_dropout,
+            )
+        elif hybrid_tiles and attn_dropout is None:
             from pygcn_tpu.ops.gat import gatv2_conv_hybrid
 
             out = gatv2_conv_hybrid(
@@ -195,7 +211,7 @@ class GAT(Module):
 
     def apply(self, params, x: jax.Array, graph: Graph,
               dropout_rng=None, edge_map=None, hybrid_tiles=False,
-              tiles_t=None) -> jax.Array:
+              tiles_t=None, colpanel=False) -> jax.Array:
         """Pass ``dropout_rng`` during training to enable the paper's
         dropout on layer inputs and attention coefficients (eval: omit).
         Pass ``edge_map`` (``ops.gat.build_edge_map``, needs the graph's ELL
@@ -205,7 +221,10 @@ class GAT(Module):
         ``ops.gat.build_gat_tiles_t``) runs tile edges through the fused
         Pallas VMEM attention kernel (v1 and v2 variants); attention
         dropout falls back to the slot path (input dropout still
-        applies)."""
+        applies). ``colpanel=True`` (graph built with the colpanel layout —
+        the >1M-row auto-policy) runs attention on panel-sliced small-table
+        gathers (``ops/gat_colpanel``); call
+        ``ops.gat_colpanel.check_gat_colpanel(graph)`` once host-side."""
         ch = self._children()
         drop = None
         if dropout_rng is not None and self.dropout > 0.0:
@@ -223,6 +242,8 @@ class GAT(Module):
         hk = {}
         if hybrid_tiles:
             hk = {"hybrid_tiles": True, "tiles_t": tiles_t}
+        elif colpanel:
+            hk = {"colpanel": True}
         if drop is not None:
             x = drop(0, x)
         x = ch["gat1"].apply(params["gat1"], x, graph,

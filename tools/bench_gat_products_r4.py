@@ -1,0 +1,117 @@
+"""Products-scale GAT / SAGE on the ColPanelELL layout (round-4b).
+
+The >1M-row auto-policy layout (colpanel) had no attention path until
+``ops/gat_colpanel``; this probe measures it on the cached ogbn-products-
+scale graph (2.45M nodes / 63.4M edges, LP-ordered). Cases, one fresh
+process each (CLAUDE.md r4 protocol: report the BEST of >=3 fresh
+processes; single draws are samples from a heavy-tailed external regime):
+
+- gat_fwd  : gat_conv_colpanel forward, 8 heads x 8 (the arxiv GAT config).
+- gat_step : forward + grads wrt (s, a_src, a_dst) — the attention part of
+             a train step (chunked buckets rematerialize, flash-style).
+- gatv2_fwd: the v2 variant's forward.
+- sage_step: GraphSAGE-mean layer train step — spmm(colpanel) + two GEMMs
+             + relu, grads wrt both weight matrices (H=128 in/out).
+
+Needs /tmp/products_lp.npz (tools/products_cache.py).
+Usage: python tools/bench_gat_products_r4.py --case gat_fwd
+"""
+import argparse
+import gc
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def log(**kw):
+    print(json.dumps(kw), flush=True)
+
+
+GAT_H, GAT_F = 8, 8  # 64 lanes — the arxiv GAT benchmark config
+SAGE_H = 128
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--case", required=True)
+    ap.add_argument("--pw", type=int, default=65536)
+    ap.add_argument("--iters", type=int, default=4)
+    args = ap.parse_args()
+    case = args.case
+
+    import jax
+    import jax.numpy as jnp
+    import scipy.sparse as sp
+
+    from pygcn_tpu.ops.colpanel import build_col_panel_ell, col_panel_spmm_raw
+    from pygcn_tpu.ops.gat_colpanel import gat_conv_colpanel, gatv2_conv_colpanel
+    from pygcn_tpu.utils.benchmark import time_chained
+
+    cpu = jax.devices("cpu")[0]
+    rng = np.random.default_rng(0)
+    t0 = time.time()
+
+    z = np.load("/tmp/products_lp.npz")
+    n = int(z["n"])
+    coo = sp.coo_matrix((z["data"], (z["row"], z["col"])), shape=(n, n))
+    n_edges = int(coo.nnz)
+    with jax.default_device(cpu):
+        cp_host = build_col_panel_ell(coo.tocsc(), panel_width=args.pw)
+    del coo, z
+    gc.collect()
+    cp = jax.device_put(cp_host)
+    del cp_host
+    gc.collect()
+    jax.block_until_ready(cp.panels[0].cols)
+    log(case=case, n_edges=n_edges, n_vrows=cp.n_vrows,
+        built_s=time.time() - t0)
+
+    if case in ("gat_fwd", "gat_step", "gatv2_fwd", "gatv2_step"):
+        h, f = GAT_H, GAT_F
+        s = jnp.asarray(rng.normal(size=(n, h, f)).astype(np.float32))
+        a1 = jnp.asarray(rng.normal(size=(h, f)).astype(np.float32) * 0.1)
+        a2 = jnp.asarray(rng.normal(size=(h, f)).astype(np.float32) * 0.1)
+        s.block_until_ready()
+        conv = gatv2_conv_colpanel if case.startswith("gatv2") else gat_conv_colpanel
+        if case.endswith("fwd"):
+            fn = lambda v, c, x1, x2: v + 1e-30 * conv(c, v, x1, x2, 0.2)
+        else:
+            def loss(v, c, x1, x2):
+                return jnp.sum(jnp.tanh(conv(c, v, x1, x2, 0.2)))
+
+            fn = lambda v, c, x1, x2: v - 1e-30 * jax.grad(loss)(v, c, x1, x2)
+        t = time_chained(fn, s, iters=args.iters, reps=2, args=(cp, a1, a2))
+        log(case=case, t_ms=t * 1e3, edges_per_s=n_edges / t)
+        log(stage="done")
+        return
+
+    if case == "sage_step":
+        x = jnp.asarray(rng.normal(size=(n, SAGE_H)).astype(np.float32))
+        w_self = jnp.asarray(rng.normal(size=(SAGE_H, SAGE_H)).astype(np.float32) * 0.05)
+        w_nb = jnp.asarray(rng.normal(size=(SAGE_H, SAGE_H)).astype(np.float32) * 0.05)
+        x.block_until_ready()
+
+        def loss(ws, wn, v, c):
+            agg = col_panel_spmm_raw(c, v)  # mean-agg: A_hat is row-normalized
+            out = jax.nn.relu(v @ ws + agg @ wn)
+            return jnp.sum(jnp.tanh(out))
+
+        def fn(v, c, ws, wn):
+            gs, gn = jax.grad(loss, argnums=(0, 1))(ws, wn, v, c)
+            return v + 1e-30 * (jnp.sum(gs) + jnp.sum(gn))
+
+        t = time_chained(fn, x, iters=args.iters, reps=2, args=(cp, w_self, w_nb))
+        log(case=case, t_ms=t * 1e3, edges_per_s=n_edges / t)
+        log(stage="done")
+        return
+
+    raise SystemExit(f"unknown case {case}")
+
+
+if __name__ == "__main__":
+    main()
