@@ -142,8 +142,17 @@ def main(argv=None):
         if args.shards > 1:
             kw.update(build_hybrid=False, build_colpanel=False)
         if args.model in ("gat", "gatv2"):
-            kw.update(build_ell=True, build_hybrid=args.shards == 1,
-                      build_colpanel=False)
+            from pygcn_tpu.graph.graph import COLPANEL_MIN_NODES
+
+            if args.shards == 1 and data.graph.n_nodes > COLPANEL_MIN_NODES:
+                # >1M rows: attention rides the colpanel flash one-pass
+                # (ops/gat_colpanel) — the ELL slot path's full-table
+                # gathers run at the big-table rate at this scale
+                kw.update(build_ell=False, build_hybrid=False,
+                          build_colpanel=True)
+            else:
+                kw.update(build_ell=True, build_hybrid=args.shards == 1,
+                          build_colpanel=False)
         # build layouts host-side, then one device_put: on the axon tunnel
         # (45 MB/s host->device) products-scale builds must not round-trip
         # intermediate arrays (CLAUDE.md)
@@ -214,12 +223,22 @@ def main(argv=None):
                 print(f"{args.model}: Pallas tile-attention path "
                       f"({graph.hybrid.tile_edges / graph.n_edges:.0%} of "
                       "edges on MXU tiles)")
+        use_colpanel = (graph.colpanel is not None and graph.ell is None
+                        and not hybrid_tiles)
+        if use_colpanel:
+            from pygcn_tpu.ops.gat_colpanel import check_gat_colpanel
+
+            check_gat_colpanel(graph)
+            print(f"{args.model}: colpanel attention path "
+                  f"({len(graph.colpanel.panels)} panels, "
+                  f"{graph.colpanel.n_vrows} virtual rows)")
 
         aux = (graph, edge_map, tiles_t)
 
         def forward(params, x, graph, edge_map, tiles_t):
             return gat.apply(params, x, graph, edge_map=edge_map,
-                             hybrid_tiles=hybrid_tiles, tiles_t=tiles_t)
+                             hybrid_tiles=hybrid_tiles, tiles_t=tiles_t,
+                             colpanel=use_colpanel)
     elif args.model in ("sage", "gin", "appnp"):
         from pygcn_tpu.nn.gin import APPNP, GIN
         from pygcn_tpu.nn.sage import SAGE
