@@ -52,6 +52,17 @@ from pygcn_tpu.ops.colpanel import (
 # weights, gathered features).
 ATTN_CHUNK_BUDGET_ELEMS = 1 << 27
 
+# Thread a zero-valued data token from each group's result into the next
+# group's gather indices, forcing XLA to SCHEDULE the groups sequentially.
+# Without it the groups have no cross-dependencies until the final merge
+# chain, and the memory scheduler overlaps every group's concat/partial
+# buffers: the products gat_fwd program assigned 30.07 GB (> the v5e's
+# 15.75 GB HBM) and failed to compile. Attention carries THREE per-vrow
+# partial streams (num/den/max) where the GCN colpanel SpMM carries one —
+# that is why the same grouped structure fits for SpMM but not here. The
+# op is gather/bandwidth-bound, so the lost overlap is noise.
+SERIALIZE_GROUPS = True
+
 
 def check_gat_colpanel(graph) -> None:
     """Host-side guard for the vals!=0 validity inference (call once before
@@ -122,6 +133,7 @@ def _panel_partials(pe: ColPanelELL, h: int, f: int, make_body):
     hf = h * f
     n = pe.n_rows
     acc = None
+    itok = jnp.int32(0)  # see SERIALIZE_GROUPS
     group = COLPANEL_GROUP_PANELS or max(1, len(pe.panels))
     for g0 in range(0, len(pe.panels), group):
         num_parts, den_parts, max_parts, vrows = [], [], [], []
@@ -132,7 +144,7 @@ def _panel_partials(pe: ColPanelELL, h: int, f: int, make_body):
                 zip(fb.cols, fb.vals, fb.rows, fb.ks)
             ):
                 num, den, bmax = _chunk_map(
-                    body_for(k, bi), cols, vals, rows, k, hf,
+                    body_for(k, bi), cols + itok, vals, rows + itok, k, hf,
                     ATTN_CHUNK_BUDGET_ELEMS,
                 )
                 num_parts.append(num)
@@ -155,6 +167,10 @@ def _panel_partials(pe: ColPanelELL, h: int, f: int, make_body):
             if acc is None
             else _flash_merge(*acc, num_g, den_g, m_g)
         )
+        if SERIALIZE_GROUPS:
+            itok = (
+                jax.lax.stop_gradient(acc[1]).ravel()[0] * 0
+            ).astype(jnp.int32)
     if acc is None:  # every panel empty (degenerate layouts)
         z = jnp.zeros((n, hf))
         return z, z, jnp.full((n, hf), -jnp.inf)
