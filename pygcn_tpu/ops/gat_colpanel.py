@@ -52,6 +52,13 @@ from pygcn_tpu.ops.colpanel import (
 # weights, gathered features).
 ATTN_CHUNK_BUDGET_ELEMS = 1 << 27
 
+# Panels per flash-merge group. Smaller than the SpMM's COLPANEL_GROUP_PANELS
+# (8): attention's group concats carry THREE [V_g, H·F] streams plus the
+# rescale, and the products gat_step memory dump put the group buffers among
+# the largest allocations. 4 halves them at the cost of twice as many
+# [N, H·F] segment/merge passes (cheap next to the slot gathers).
+ATTN_GROUP_PANELS = 4
+
 # Thread a zero-valued data token from each group's result into the next
 # group's gather indices, forcing XLA to SCHEDULE the groups sequentially.
 # Without it the groups have no cross-dependencies until the final merge
@@ -134,7 +141,7 @@ def _panel_partials(pe: ColPanelELL, h: int, f: int, make_body):
     n = pe.n_rows
     acc = None
     itok = jnp.int32(0)  # see SERIALIZE_GROUPS
-    group = COLPANEL_GROUP_PANELS or max(1, len(pe.panels))
+    group = ATTN_GROUP_PANELS or max(1, len(pe.panels))
     for g0 in range(0, len(pe.panels), group):
         num_parts, den_parts, max_parts, vrows = [], [], [], []
         for pi in range(g0, min(g0 + group, len(pe.panels))):

@@ -32,7 +32,9 @@ def log(**kw):
     print(json.dumps(kw), flush=True)
 
 
-GAT_H, GAT_F = 8, 8  # 64 lanes — the arxiv GAT benchmark config
+GAT_H, GAT_F = 8, 16  # 128 lanes: a 64-lane H*F pads 2x on TPU tiles
+# (the products OOM dump showed every wide buffer at 2.0x expansion);
+# 8x16 costs the same padded bytes and wastes none
 SAGE_H = 128
 
 
