@@ -59,15 +59,18 @@ ATTN_CHUNK_BUDGET_ELEMS = 1 << 27
 # [N, H·F] segment/merge passes (cheap next to the slot gathers).
 ATTN_GROUP_PANELS = 4
 
-# Thread a zero-valued data token from each group's result into the next
-# group's gather indices, forcing XLA to SCHEDULE the groups sequentially.
-# Without it the groups have no cross-dependencies until the final merge
-# chain, and the memory scheduler overlaps every group's concat/partial
-# buffers: the products gat_fwd program assigned 30.07 GB (> the v5e's
-# 15.75 GB HBM) and failed to compile. Attention carries THREE per-vrow
-# partial streams (num/den/max) where the GCN colpanel SpMM carries one —
-# that is why the same grouped structure fits for SpMM but not here. The
-# op is gather/bandwidth-bound, so the lost overlap is noise.
+# Gate each group's index arrays behind an optimization_barrier that also
+# takes the running (num, den, m) accumulator, forcing XLA to SCHEDULE the
+# groups sequentially. Without it the groups have no cross-dependencies
+# until the final merge chain, and the memory scheduler overlaps every
+# group's segment outputs and concat/partial buffers: the products gat_fwd
+# program assigned 30-38 GB (> the v5e's 15.75 GB HBM) and failed to
+# compile. (A zero-valued arithmetic token `x*0` does NOT work — the
+# simplifier folds it and the dependency vanishes; the barrier is opaque.)
+# Attention carries THREE per-vrow partial streams (num/den/max) where the
+# GCN colpanel SpMM carries one — that is why the same grouped structure
+# fits for SpMM but not here. The op is gather/bandwidth-bound, so the
+# lost overlap is noise.
 SERIALIZE_GROUPS = True
 
 
@@ -140,24 +143,43 @@ def _panel_partials(pe: ColPanelELL, h: int, f: int, make_body):
     hf = h * f
     n = pe.n_rows
     acc = None
-    itok = jnp.int32(0)  # see SERIALIZE_GROUPS
     group = ATTN_GROUP_PANELS or max(1, len(pe.panels))
     for g0 in range(0, len(pe.panels), group):
-        num_parts, den_parts, max_parts, vrows = [], [], [], []
-        for pi in range(g0, min(g0 + group, len(pe.panels))):
-            fb = pe.panels[pi]
-            body_for = make_body(pi, pe.starts[pi], pe.widths[pi], fb)
+        buckets = [
+            (pi, bi, cols, vals, rows, k)
+            for pi in range(g0, min(g0 + group, len(pe.panels)))
             for bi, (cols, vals, rows, k) in enumerate(
-                zip(fb.cols, fb.vals, fb.rows, fb.ks)
-            ):
-                num, den, bmax = _chunk_map(
-                    body_for(k, bi), cols + itok, vals, rows + itok, k, hf,
-                    ATTN_CHUNK_BUDGET_ELEMS,
+                zip(pe.panels[pi].cols, pe.panels[pi].vals,
+                    pe.panels[pi].rows, pe.panels[pi].ks)
+            )
+        ]
+        if SERIALIZE_GROUPS and acc is not None:
+            nbk = len(buckets)
+            gated = jax.lax.optimization_barrier(
+                tuple(acc)
+                + tuple(b[2] for b in buckets)  # cols
+                + tuple(b[4] for b in buckets)  # rows
+            )
+            acc = gated[:3]
+            buckets = [
+                (pi, bi, gated[3 + i], vals, gated[3 + nbk + i], k)
+                for i, (pi, bi, _, vals, _, k) in enumerate(buckets)
+            ]
+        num_parts, den_parts, max_parts, vrows = [], [], [], []
+        bodies = {}
+        for pi, bi, cols, vals, rows, k in buckets:
+            if pi not in bodies:
+                bodies[pi] = make_body(
+                    pi, pe.starts[pi], pe.widths[pi], pe.panels[pi]
                 )
-                num_parts.append(num)
-                den_parts.append(den)
-                max_parts.append(bmax)
-                vrows.append(rows)
+            num, den, bmax = _chunk_map(
+                bodies[pi](k, bi), cols, vals, rows, k, hf,
+                ATTN_CHUNK_BUDGET_ELEMS,
+            )
+            num_parts.append(num)
+            den_parts.append(den)
+            max_parts.append(bmax)
+            vrows.append(rows)
         r = jnp.concatenate(vrows, axis=0)
         bmax = jnp.concatenate(max_parts, axis=0)  # [V_g, H·F]
         m_g = jax.ops.segment_max(bmax, r, num_segments=n)
@@ -174,10 +196,6 @@ def _panel_partials(pe: ColPanelELL, h: int, f: int, make_body):
             if acc is None
             else _flash_merge(*acc, num_g, den_g, m_g)
         )
-        if SERIALIZE_GROUPS:
-            itok = (
-                jax.lax.stop_gradient(acc[1]).ravel()[0] * 0
-            ).astype(jnp.int32)
     if acc is None:  # every panel empty (degenerate layouts)
         z = jnp.zeros((n, hf))
         return z, z, jnp.full((n, hf), -jnp.inf)

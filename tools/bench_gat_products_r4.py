@@ -43,6 +43,11 @@ def main():
     ap.add_argument("--case", required=True)
     ap.add_argument("--pw", type=int, default=65536)
     ap.add_argument("--iters", type=int, default=4)
+    ap.add_argument("--group", type=int, default=0,
+                    help="override gat_colpanel.ATTN_GROUP_PANELS (0 = keep)")
+    ap.add_argument("--budget", type=int, default=0,
+                    help="override gat_colpanel.ATTN_CHUNK_BUDGET_ELEMS log2 "
+                    "(0 = keep)")
     args = ap.parse_args()
     case = args.case
 
@@ -50,9 +55,15 @@ def main():
     import jax.numpy as jnp
     import scipy.sparse as sp
 
+    import pygcn_tpu.ops.gat_colpanel as gcp
     from pygcn_tpu.ops.colpanel import build_col_panel_ell, col_panel_spmm_raw
     from pygcn_tpu.ops.gat_colpanel import gat_conv_colpanel, gatv2_conv_colpanel
     from pygcn_tpu.utils.benchmark import time_chained
+
+    if args.group:
+        gcp.ATTN_GROUP_PANELS = args.group
+    if args.budget:
+        gcp.ATTN_CHUNK_BUDGET_ELEMS = 1 << args.budget
 
     cpu = jax.devices("cpu")[0]
     rng = np.random.default_rng(0)
