@@ -55,9 +55,9 @@ ATTN_CHUNK_BUDGET_ELEMS = 1 << 27
 # Panels per flash-merge group. Smaller than the SpMM's COLPANEL_GROUP_PANELS
 # (8): attention's group concats carry THREE [V_g, H·F] streams plus the
 # rescale, and the products gat_step memory dump put the group buffers among
-# the largest allocations. 4 halves them at the cost of twice as many
+# the largest allocations. 2 quarters them at the cost of more
 # [N, H·F] segment/merge passes (cheap next to the slot gathers).
-ATTN_GROUP_PANELS = 4
+ATTN_GROUP_PANELS = 2
 
 # Gate each group's index arrays behind an optimization_barrier that also
 # takes the running (num, den, m) accumulator, forcing XLA to SCHEDULE the
@@ -229,13 +229,16 @@ def gat_conv_colpanel(
     n, h, f = s.shape
     hf = h * f
     rep = lambda t: jnp.repeat(t, f, axis=-1)
-    logit_src = rep(jnp.einsum("nhf,hf->nh", s, a_src))  # [N, H·F]
     logit_dst = rep(jnp.einsum("nhf,hf->nh", s, a_dst))
     s2 = s.reshape(n, hf)
 
     def make_body(pi, start, width, fb):
-        xl = _slice_table(logit_src, start, width)
+        # the source logit's panel slice is computed FROM the feature slice
+        # (one tiny einsum per panel) instead of slicing a full [N, H·F]
+        # f-replicated source-logit table: at products scale that table and
+        # its broadcast/reshape copies cost ~2.4 GB of the HBM schedule.
         xg = _slice_table(s2, start, width)
+        xl = rep(jnp.einsum("whf,hf->wh", xg.reshape(-1, h, f), a_src))
 
         def body_for(k, bi):
             def body(cols2, vals2, rows1, ci):

@@ -90,12 +90,16 @@ def main():
         a1 = jnp.asarray(rng.normal(size=(h, f)).astype(np.float32) * 0.1)
         a2 = jnp.asarray(rng.normal(size=(h, f)).astype(np.float32) * 0.1)
         s.block_until_ready()
-        conv = gatv2_conv_colpanel if case.startswith("gatv2") else gat_conv_colpanel
+        if case.startswith("gatv2"):
+            # v2 signature: (graph, s_l, s_r, a); share-weights config
+            conv = lambda c, v, x1, x2: gatv2_conv_colpanel(c, v, v, x1, 0.2)
+        else:
+            conv = lambda c, v, x1, x2: gat_conv_colpanel(c, v, x1, x2, 0.2)
         if case.endswith("fwd"):
-            fn = lambda v, c, x1, x2: v + 1e-30 * conv(c, v, x1, x2, 0.2)
+            fn = lambda v, c, x1, x2: v + 1e-30 * conv(c, v, x1, x2)
         else:
             def loss(v, c, x1, x2):
-                return jnp.sum(jnp.tanh(conv(c, v, x1, x2, 0.2)))
+                return jnp.sum(jnp.tanh(conv(c, v, x1, x2)))
 
             fn = lambda v, c, x1, x2: v - 1e-30 * jax.grad(loss)(v, c, x1, x2)
         t = time_chained(fn, s, iters=args.iters, reps=2, args=(cp, a1, a2))
