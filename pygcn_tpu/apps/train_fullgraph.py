@@ -159,6 +159,17 @@ def main(argv=None):
         with jax.default_device(jax.devices("cpu")[0]):
             g_host = Graph.from_scipy(coo, **kw)
         del coo
+        if g_host.colpanel is not None:
+            # validate on the HOST copy: pulling device edge arrays back
+            # through the ~45 MB/s tunnel costs ~6 s at products scale
+            from pygcn_tpu.ops.gat_colpanel import check_gat_colpanel
+
+            check_gat_colpanel(
+                g_host,
+                senders=np.asarray(g_host.senders),
+                receivers=np.asarray(g_host.receivers),
+                weights=np.asarray(g_host.weights),
+            )
         data.graph = jax.device_put(g_host)
         del g_host
         print(f"clustered pipeline: LP order + layouts built in "
@@ -226,9 +237,12 @@ def main(argv=None):
         use_colpanel = (graph.colpanel is not None and graph.ell is None
                         and not hybrid_tiles)
         if use_colpanel:
-            from pygcn_tpu.ops.gat_colpanel import check_gat_colpanel
+            if not args.clustered:
+                # clustered graphs were already checked host-side (above,
+                # before device_put); small graphs are cheap to pull
+                from pygcn_tpu.ops.gat_colpanel import check_gat_colpanel
 
-            check_gat_colpanel(graph)
+                check_gat_colpanel(graph)
             print(f"{args.model}: colpanel attention path "
                   f"({len(graph.colpanel.panels)} panels, "
                   f"{graph.colpanel.n_vrows} virtual rows)")

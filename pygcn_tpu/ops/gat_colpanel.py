@@ -6,20 +6,34 @@ at ogbn-products vs 45M for flat ELL), but attention previously had no
 colpanel path: ``gat_conv_ell`` needs ``graph.ell`` + an EdgeMap, and its
 slot gathers read the full ``[N, H·F']`` node table at the big-table gather
 rate (~58M rows/s at 2.45M rows — exactly the wall the colpanel layout
-exists to dodge). This module runs the same numerically-EXACT flash
-one-pass (see :func:`pygcn_tpu.ops.gat.gat_conv_ell_onepass`) over the
-column panels:
+exists to dodge).
 
-- sender-side gathers (source logits for v1, source features for both)
-  read the MATERIALIZED per-panel slice — the small-table rate for ALL E
-  edges, like the colpanel SpMM;
-- only the per-virtual-row receiver operand (the receiver logit for v1,
-  the ``[H·F']`` receiver transform for v2) rides a global gather, V ≈ E/k
-  rows instead of E;
-- per-panel-GROUP partial sets ``(num, den, max)`` flash-merge
-  hierarchically (the blockwise-softmax merge is associative), so the live
-  per-vrow partial buffers stay group-bounded the way the grouped GCN
-  combine (``COLPANEL_GROUP_PANELS``) bounds the SpMM's.
+This module computes the numerically-EXACT edge softmax in **two sweeps**
+over the column panels (replacing the round-4 one-pass flash-merge design,
+whose per-group ``(num, den, max)`` accumulator chain put the products
+forward 1.1 GB over the v5e's 15.75 GB HBM and — because every merge-chain
+accumulator becomes an autodiff residual — the train step 107 GB over):
+
+- **Sweep A (max)**: per-receiver global logit max ``m``, accumulated one
+  panel group at a time into a single ``[N, H·F']`` running-max buffer.
+  The exact-softmax shift is a *constant* (shifts cancel in ``num/den``),
+  so the whole sweep runs under ``stop_gradient`` — the backward never
+  touches it and it carries zero residuals.
+- **Sweep B (sums)**: with ``m`` known, every bucket's contribution is
+  final — ``num += segment_sum(g·exp(e−m_v))``, ``den += segment_sum(
+  exp(e−m_v))``. The cross-group combine is *linear* (plain adds), so
+  autodiff saves nothing per group; per-bucket transients are rematerialized
+  by the chunk-level ``jax.checkpoint`` (the flash memory/FLOP trade).
+
+Cost vs the one-pass: sweep A re-reads the logit operands (one extra
+gather stream ≈ +50 % slot traffic for v1, a second feature gather for
+v2); in exchange the live set is input tables + three ``[N, H·F']``
+accumulators + one group's transients, for forward AND backward. A 1.5×-
+traffic op that fits beats a 1×-traffic op that OOMs.
+
+Sender-side gathers read the MATERIALIZED per-panel slice — the
+small-table rate for ALL E edges, like the colpanel SpMM; only per-vrow
+receiver operands ride a global gather (V ≈ E/k rows instead of E).
 
 Slot validity is inferred from stored ``vals != 0`` (the flat layout keeps
 no structural mask) — the same contract as ``gat_conv_hybrid``'s residual;
@@ -39,52 +53,69 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from pygcn_tpu.ops.colpanel import (
-    COLPANEL_GROUP_PANELS,
-    MATERIALIZE_PANEL_SLICES,
-    ColPanelELL,
-)
+from pygcn_tpu.ops.colpanel import MATERIALIZE_PANEL_SLICES, ColPanelELL
 
 # Per-bucket gathered-transient budget (elements of the widest [slots, H·F']
-# tensor). Above it the bucket computes its per-vrow partials in row chunks
-# under lax.map — same scheme as colpanel._flat_bucket_partial, sized half
-# as large because attention keeps ~3 slot-wide tensors live (logits, exp
-# weights, gathered features).
-ATTN_CHUNK_BUDGET_ELEMS = 1 << 27
+# tensor). Above it the bucket computes its per-vrow parts in row chunks
+# under lax.map — same scheme as colpanel._flat_bucket_partial, sized a
+# quarter as large because attention keeps ~3 slot-wide tensors live
+# (logits, exp weights, gathered features) and the products schedule needs
+# every transient bounded.
+ATTN_CHUNK_BUDGET_ELEMS = 1 << 26
 
-# Panels per flash-merge group. Smaller than the SpMM's COLPANEL_GROUP_PANELS
-# (8): attention's group concats carry THREE [V_g, H·F] streams plus the
-# rescale, and the products gat_step memory dump put the group buffers among
-# the largest allocations. 2 quarters them at the cost of more
-# [N, H·F] segment/merge passes (cheap next to the slot gathers).
+# Panels per combine group (default for the ``group_panels`` argument).
+# Each group concatenates its buckets' per-vrow parts ([V_g, H·F] streams)
+# before one segment op; larger groups amortize segment passes, smaller
+# groups shrink the concat transients. 2 fits the products HBM schedule
+# with room (measured r5).
 ATTN_GROUP_PANELS = 2
 
 # Gate each group's index arrays behind an optimization_barrier that also
-# takes the running (num, den, m) accumulator, forcing XLA to SCHEDULE the
-# groups sequentially. Without it the groups have no cross-dependencies
-# until the final merge chain, and the memory scheduler overlaps every
-# group's segment outputs and concat/partial buffers: the products gat_fwd
-# program assigned 30-38 GB (> the v5e's 15.75 GB HBM) and failed to
-# compile. (A zero-valued arithmetic token `x*0` does NOT work — the
-# simplifier folds it and the dependency vanishes; the barrier is opaque.)
-# Attention carries THREE per-vrow partial streams (num/den/max) where the
-# GCN colpanel SpMM carries one — that is why the same grouped structure
-# fits for SpMM but not here. The op is gather/bandwidth-bound, so the
-# lost overlap is noise.
+# takes the running accumulator(s), forcing XLA to SCHEDULE the groups
+# sequentially. Without it the groups have no cross-dependencies until the
+# final combine, and the memory scheduler overlaps every group's segment
+# outputs and concat buffers (the r4 one-pass products forward assigned
+# 30-38 GB this way). (A zero-valued arithmetic token `x*0` does NOT work —
+# the simplifier folds it and the dependency vanishes; the barrier is
+# opaque.) The barrier's transpose is a barrier over the cotangents, so the
+# BACKWARD group chain serializes the same way. The op is gather/bandwidth-
+# bound, so the lost overlap is noise.
 SERIALIZE_GROUPS = True
 
 
-def check_gat_colpanel(graph) -> None:
-    """Host-side guard for the vals!=0 validity inference (call once before
-    jitting a colpanel attention step; mirrors ``build_gat_tiles_t``'s
-    check for the hybrid path)."""
+def check_gat_colpanel(graph, senders=None, receivers=None, weights=None) -> None:
+    """Host-side guard for the ``vals != 0`` validity inference (call once
+    before jitting a colpanel attention step; mirrors ``build_gat_tiles_t``'s
+    check for the hybrid path).
+
+    Pass host-side ``senders``/``receivers``/``weights`` arrays when the
+    graph is already device_put — on the axon tunnel, pulling the device
+    edge arrays back costs ~6 s at products scale (CLAUDE.md).
+
+    Checks BOTH failure modes of the inference:
+
+    - an explicit zero-weight edge (its slot looks invalid → silently
+      dropped from attention);
+    - duplicate COO edges: ``build_col_panel_ell`` goes through
+      ``coo.tocsc()``, which SUMS duplicates — a duplicate pair attends
+      once here vs twice on the COO/edge-softmax path, and a cancelled pair
+      (weights summing to zero) is dropped entirely.
+    """
     import numpy as np
+    import scipy.sparse as sp
 
     if graph.colpanel is None:
         raise ValueError(
             "graph has no colpanel layout; build with build_colpanel=True"
         )
-    w = np.asarray(graph.weights[: graph.n_edges])
+    ne = graph.n_edges
+    if weights is None:
+        weights = np.asarray(graph.weights)
+    if senders is None:
+        senders = np.asarray(graph.senders)
+    if receivers is None:
+        receivers = np.asarray(graph.receivers)
+    w = np.asarray(weights)[:ne]
     if w.size and not np.all(w != 0):
         raise ValueError(
             "colpanel attention requires all real edge weights to be "
@@ -92,30 +123,30 @@ def check_gat_colpanel(graph) -> None:
             f"{int((w == 0).sum())} zero-weight edges — use the edge_map "
             "(gat_conv_ell) path for graphs with explicit zero edges"
         )
-
-
-def _flash_merge(num_a, den_a, m_a, num_b, den_b, m_b):
-    """Exact merge of two per-receiver partial sets (associative; the local
-    shifts cancel — same algebra as gat_conv_hybrid's tile+residual merge).
-    ``m_*`` may be -inf where a receiver has no edge in that set
-    (exp(-inf - finite_shift) = 0 cleanly zeroes its contribution)."""
-    m = jax.lax.stop_gradient(jnp.maximum(m_a, m_b))
-    shift = jnp.where(jnp.isfinite(m), m, 0.0)
-    sa = jnp.exp(m_a - shift)
-    sb = jnp.exp(m_b - shift)
-    return num_a * sa + num_b * sb, den_a * sa + den_b * sb, m
+    # dedup-aware check: rebuild the matrix the same way the layout builder
+    # does (tocsc coalesces duplicates)
+    m = sp.coo_matrix(
+        (w, (np.asarray(receivers)[:ne], np.asarray(senders)[:ne])),
+        shape=(graph.n_nodes, graph.n_nodes),
+    ).tocsc()
+    if m.nnz != ne or (m.nnz and not np.all(m.data != 0)):
+        raise ValueError(
+            f"colpanel attention requires duplicate-free edges: {ne} COO "
+            f"edges coalesce to {m.nnz} stored entries "
+            f"({int((m.data == 0).sum())} summing to zero) — duplicates "
+            "attend once (or never, if cancelled) on this layout vs once "
+            "per copy on the COO path; deduplicate the edge list first"
+        )
 
 
 def _chunk_map(body, cols, vals, rows, k: int, hf: int, budget: int):
-    """Run ``body(cols_2d, vals_2d, rows_1d, chunk_idx) -> (num, den, bmax)``
-    over row chunks of a flat bucket; returns [nb, hf] partials. Padded
-    vrows (zero vals → all-invalid) are sliced away before the combine."""
+    """Run ``body(cols_2d, vals_2d, rows_1d, chunk_idx) -> tuple of
+    [nb(, hf)]`` over row chunks of a flat bucket; returns the same tuple
+    with full-bucket leading dims. Padded vrows (zero vals → all-invalid)
+    are sliced away before the combine."""
     nb = cols.shape[0] // k
     if cols.shape[0] * hf <= budget:
-        num, den, bmax = body(
-            cols.reshape(nb, k), vals.reshape(nb, k), rows, jnp.int32(0)
-        )
-        return num, den, bmax
+        return body(cols.reshape(nb, k), vals.reshape(nb, k), rows, jnp.int32(0))
     rpc = max(1, budget // (k * hf))
     n_chunks = -(-nb // rpc)
     pad = n_chunks * rpc - nb
@@ -128,22 +159,19 @@ def _chunk_map(body, cols, vals, rows, k: int, hf: int, budget: int):
     # Recomputing from the (already-live) node tables is the flash-attention
     # memory/FLOP trade.
     ck = jax.checkpoint(body)
-    num, den, bmax = jax.lax.map(
-        lambda cvri: ck(*cvri), (cols_p, vals_p, rows_p, idx)
-    )
-    sl = lambda t: t.reshape(n_chunks * rpc, hf)[:nb]
-    return sl(num), sl(den), sl(bmax)
+    out = jax.lax.map(lambda cvri: ck(*cvri), (cols_p, vals_p, rows_p, idx))
+    sl = lambda t: t.reshape((n_chunks * rpc,) + t.shape[2:])[:nb]
+    return jax.tree.map(sl, out)
 
 
-def _panel_partials(pe: ColPanelELL, h: int, f: int, make_body):
-    """Shared panel/group walk: ``make_body(panel_idx, start, width, fb)``
-    returns the per-bucket chunk body for that panel. Produces the exact
-    per-receiver ``(num, den, m)`` over the whole layout, each ``[N, H·F]``
-    (``den``/``m`` f-replicated), merging one panel GROUP at a time."""
-    hf = h * f
-    n = pe.n_rows
-    acc = None
-    group = ATTN_GROUP_PANELS or max(1, len(pe.panels))
+def _walk(pe: ColPanelELL, accs, make_body, combine, group: int, serialize: bool):
+    """Shared panel/group sweep. ``make_body(panel_idx, start, width)``
+    returns the per-bucket chunk-body factory for that panel;
+    ``combine(accs, parts_cat, rows_cat)`` folds one group's concatenated
+    per-vrow part streams into the running accumulators. Groups are
+    (optionally) serialized via an opaque barrier on the accumulators +
+    this group's index arrays (see SERIALIZE_GROUPS)."""
+    hf = accs[0].shape[-1]
     for g0 in range(0, len(pe.panels), group):
         buckets = [
             (pi, bi, cols, vals, rows, k)
@@ -153,53 +181,80 @@ def _panel_partials(pe: ColPanelELL, h: int, f: int, make_body):
                     pe.panels[pi].rows, pe.panels[pi].ks)
             )
         ]
-        if SERIALIZE_GROUPS and acc is not None:
+        if serialize and g0 > 0:
             nbk = len(buckets)
+            na = len(accs)
             gated = jax.lax.optimization_barrier(
-                tuple(acc)
+                tuple(accs)
                 + tuple(b[2] for b in buckets)  # cols
                 + tuple(b[4] for b in buckets)  # rows
             )
-            acc = gated[:3]
+            accs = gated[:na]
             buckets = [
-                (pi, bi, gated[3 + i], vals, gated[3 + nbk + i], k)
+                (pi, bi, gated[na + i], vals, gated[na + nbk + i], k)
                 for i, (pi, bi, _, vals, _, k) in enumerate(buckets)
             ]
-        num_parts, den_parts, max_parts, vrows = [], [], [], []
+        parts_lists, vrows = None, []
         bodies = {}
         for pi, bi, cols, vals, rows, k in buckets:
             if pi not in bodies:
-                bodies[pi] = make_body(
-                    pi, pe.starts[pi], pe.widths[pi], pe.panels[pi]
-                )
-            num, den, bmax = _chunk_map(
+                bodies[pi] = make_body(pi, pe.starts[pi], pe.widths[pi])
+            parts = _chunk_map(
                 bodies[pi](k, bi), cols, vals, rows, k, hf,
                 ATTN_CHUNK_BUDGET_ELEMS,
             )
-            num_parts.append(num)
-            den_parts.append(den)
-            max_parts.append(bmax)
+            if parts_lists is None:
+                parts_lists = tuple([] for _ in parts)
+            for lst, p in zip(parts_lists, parts):
+                lst.append(p)
             vrows.append(rows)
+        cat = tuple(jnp.concatenate(pl, axis=0) for pl in parts_lists)
         r = jnp.concatenate(vrows, axis=0)
-        bmax = jnp.concatenate(max_parts, axis=0)  # [V_g, H·F]
+        accs = combine(accs, cat, r)
+    return accs
+
+
+def _resolve(group_panels, serialize, pe):
+    g = ATTN_GROUP_PANELS if group_panels is None else group_panels
+    g = g or max(1, len(pe.panels))
+    s = SERIALIZE_GROUPS if serialize is None else serialize
+    return g, s
+
+
+def _two_sweep(pe, n, hf, dtype, make_body_max, make_body_sum, group, serialize):
+    """Exact two-sweep edge softmax over the layout. Returns (num, den),
+    each [N, H·F] (den f-replicated)."""
+    if not pe.panels:  # every panel empty (degenerate layouts)
+        return jnp.zeros((n, hf), dtype), jnp.zeros((n, hf), dtype)
+
+    # Sweep A: global per-receiver max. Exact-softmax shifts cancel, so the
+    # sweep is gradient-free by construction.
+    def comb_max(accs, cat, r):
+        (bmax,) = cat
         m_g = jax.ops.segment_max(bmax, r, num_segments=n)
-        shift = jax.lax.stop_gradient(jnp.where(jnp.isfinite(m_g), m_g, 0.0))
-        scale = jnp.exp(bmax - jnp.take(shift, r, axis=0))
-        num_g = jax.ops.segment_sum(
-            jnp.concatenate(num_parts, axis=0) * scale, r, num_segments=n
+        return (jnp.maximum(accs[0], m_g),)
+
+    (m,) = _walk(
+        pe, (jnp.full((n, hf), -jnp.inf, dtype),), make_body_max, comb_max,
+        group, serialize,
+    )
+    m = jax.lax.stop_gradient(m)
+    # rows with no edges keep m=-inf; their (unused) shift becomes 0 so the
+    # per-slot exp(e - shift) stays well-defined (exp(-inf - 0) = 0)
+    shift = jnp.where(jnp.isfinite(m), m, 0.0).astype(dtype)
+
+    # Sweep B: final num/den accumulation — the cross-group combine is
+    # linear, so the backward re-derives per-bucket terms via the chunk
+    # remat and carries no per-group residuals.
+    def comb_sum(accs, cat, r):
+        num_p, den_p = cat
+        return (
+            accs[0] + jax.ops.segment_sum(num_p, r, num_segments=n),
+            accs[1] + jax.ops.segment_sum(den_p, r, num_segments=n),
         )
-        den_g = jax.ops.segment_sum(
-            jnp.concatenate(den_parts, axis=0) * scale, r, num_segments=n
-        )
-        acc = (
-            (num_g, den_g, jax.lax.stop_gradient(m_g))
-            if acc is None
-            else _flash_merge(*acc, num_g, den_g, m_g)
-        )
-    if acc is None:  # every panel empty (degenerate layouts)
-        z = jnp.zeros((n, hf))
-        return z, z, jnp.full((n, hf), -jnp.inf)
-    return acc
+
+    z = jnp.zeros((n, hf), dtype)
+    return _walk(pe, (z, z), make_body_sum(shift), comb_sum, group, serialize)
 
 
 def _slice_table(x, s: int, w: int):
@@ -209,6 +264,12 @@ def _slice_table(x, s: int, w: int):
     return xs
 
 
+def _fold_key(pi: int, bi: int, ci):
+    # fold panel/bucket/chunk into one int32 key index
+    # (bucket ordinals < 2^5 per panel, chunks < 2^16)
+    return (pi * (1 << 5) + bi) * (1 << 16) + ci
+
+
 def gat_conv_colpanel(
     graph,
     s: jax.Array,  # [N, H, F'] per-head transformed features
@@ -216,8 +277,10 @@ def gat_conv_colpanel(
     a_dst: jax.Array,  # [H, F']
     negative_slope: float = 0.2,
     attn_dropout=None,  # optional (drop_fn((slot, idx), arr), key_slot) pair
+    group_panels: int | None = None,  # panels per combine group (None = default)
+    serialize: bool | None = None,  # serialize group schedule (None = default)
 ) -> jax.Array:
-    """Exact one-pass GAT convolution over ``graph.colpanel``. All per-slot
+    """Exact two-sweep GAT convolution over ``graph.colpanel``. All per-slot
     algebra rides f-replicated ``[.., H·F]`` lanes (the narrow-lane padding
     lesson from ``gat_conv_ell_onepass``). ``graph`` may be a bare
     :class:`ColPanelELL` (probes pass the layout as a jit argument)."""
@@ -232,44 +295,65 @@ def gat_conv_colpanel(
     logit_dst = rep(jnp.einsum("nhf,hf->nh", s, a_dst))
     s2 = s.reshape(n, hf)
 
-    def make_body(pi, start, width, fb):
+    def panel_tables(start, width):
         # the source logit's panel slice is computed FROM the feature slice
         # (one tiny einsum per panel) instead of slicing a full [N, H·F]
         # f-replicated source-logit table: at products scale that table and
         # its broadcast/reshape copies cost ~2.4 GB of the HBM schedule.
         xg = _slice_table(s2, start, width)
         xl = rep(jnp.einsum("whf,hf->wh", xg.reshape(-1, h, f), a_src))
+        return xg, xl
+
+    def logits(xl, cols2, vals2, rows1):
+        nb = rows1.shape[0]
+        k = cols2.shape[1]
+        valid = (vals2 != 0)[..., None]  # [nb, k, 1]
+        flat = cols2.reshape(-1)
+        lsrc = jnp.take(xl, flat, axis=0).reshape(nb, k, hf)
+        ldst = jnp.take(logit_dst, rows1, axis=0)[:, None, :]
+        e = jax.nn.leaky_relu(lsrc + ldst, negative_slope)
+        return jnp.where(valid, e, -jnp.inf), flat
+
+    def make_body_max(pi, start, width):
+        _, xl = panel_tables(start, width)
 
         def body_for(k, bi):
             def body(cols2, vals2, rows1, ci):
-                nb = rows1.shape[0]
-                valid = (vals2 != 0)[..., None]  # [nb, k, 1]
-                flat = cols2.reshape(-1)
-                lsrc = jnp.take(xl, flat, axis=0).reshape(nb, k, hf)
-                ldst = jnp.take(logit_dst, rows1, axis=0)[:, None, :]
-                e = jax.nn.leaky_relu(lsrc + ldst, negative_slope)
-                e = jnp.where(valid, e, -jnp.inf)
-                bmax = jax.lax.stop_gradient(e.max(axis=1))  # [nb, H·F]
-                shift = jnp.where(jnp.isfinite(bmax), bmax, 0.0)
-                ex = jnp.exp(e - shift[:, None, :])
-                den = ex.sum(axis=1)
-                if attn_dropout is not None:
-                    drop, slot = attn_dropout
-                    mask_in = jnp.ones((nb, k, h), ex.dtype)
-                    # fold panel/bucket/chunk into one int32 key index
-                    # (bucket ordinals < 2^5 per panel, chunks < 2^16)
-                    ex = ex * rep(
-                        drop((slot, (pi * (1 << 5) + bi) * (1 << 16) + ci),
-                             mask_in)
-                    )
-                g = jnp.take(xg, flat, axis=0).reshape(nb, k, hf)
-                return (g * ex).sum(axis=1), den, bmax
+                e, _ = logits(xl, cols2, vals2, rows1)
+                return (jax.lax.stop_gradient(e.max(axis=1)),)
 
             return body
 
         return body_for
 
-    num, den, _m = _panel_partials(pe, h, f, make_body)
+    def make_body_sum(shift):
+        def make_body(pi, start, width):
+            xg, xl = panel_tables(start, width)
+
+            def body_for(k, bi):
+                def body(cols2, vals2, rows1, ci):
+                    nb = rows1.shape[0]
+                    e, flat = logits(xl, cols2, vals2, rows1)
+                    sh = jnp.take(shift, rows1, axis=0)[:, None, :]
+                    ex = jnp.exp(e - sh)  # [nb, k, H·F]
+                    den = ex.sum(axis=1)
+                    if attn_dropout is not None:
+                        drop, slot = attn_dropout
+                        mask_in = jnp.ones((nb, k, h), ex.dtype)
+                        ex = ex * rep(drop((slot, _fold_key(pi, bi, ci)), mask_in))
+                    g = jnp.take(xg, flat, axis=0).reshape(nb, k, hf)
+                    return (g * ex).sum(axis=1), den
+
+                return body
+
+            return body_for
+
+        return make_body
+
+    group, ser = _resolve(group_panels, serialize, pe)
+    num, den = _two_sweep(
+        pe, n, hf, s.dtype, make_body_max, make_body_sum, group, ser
+    )
     return (num / jnp.maximum(den, 1e-16)).reshape(n, h, f)
 
 
@@ -280,12 +364,13 @@ def gatv2_conv_colpanel(
     a: jax.Array,  # [H, F']
     negative_slope: float = 0.2,
     attn_dropout=None,
+    group_panels: int | None = None,
+    serialize: bool | None = None,
 ) -> jax.Array:
-    """Exact one-pass GATv2 over ``graph.colpanel``. The source transform is
-    gathered ONCE per slot from the panel slice and feeds both the v2 logit
-    (``a · leaky(s_l[u] + s_r[v])``, an F-reduction per slot) and the
-    weighted aggregation — the same single-sweep structure as
-    :func:`pygcn_tpu.ops.gat.gatv2_conv_ell_onepass`."""
+    """Exact two-sweep GATv2 over ``graph.colpanel``. The v2 logit
+    (``a · leaky(s_l[u] + s_r[v])``, an F-reduction per slot) needs the
+    gathered source features in BOTH sweeps, so v2 pays a second feature
+    gather where v1's sweep A reads only per-node logit scalars."""
     pe = graph if isinstance(graph, ColPanelELL) else graph.colpanel
     if pe is None:
         raise ValueError(
@@ -297,38 +382,54 @@ def gatv2_conv_colpanel(
     sl2 = s_l.reshape(n, hf)
     sr2 = s_r.reshape(n, hf)
 
-    def make_body(pi, start, width, fb):
+    def gather_logits(xg, cols2, vals2, rows1):
+        nb = rows1.shape[0]
+        k = cols2.shape[1]
+        valid = (vals2 != 0)[..., None]  # [nb, k, 1]
+        g = jnp.take(xg, cols2.reshape(-1), axis=0).reshape(nb, k, h, f)
+        d = jnp.take(sr2, rows1, axis=0).reshape(nb, 1, h, f)
+        e = jnp.einsum(
+            "bkhf,hf->bkh", jax.nn.leaky_relu(g + d, negative_slope), a
+        )
+        return jnp.where(valid, rep(e), -jnp.inf), g
+
+    def make_body_max(pi, start, width):
         xg = _slice_table(sl2, start, width)
 
         def body_for(k, bi):
             def body(cols2, vals2, rows1, ci):
-                nb = rows1.shape[0]
-                valid = (vals2 != 0)[..., None]  # [nb, k, 1]
-                g = jnp.take(xg, cols2.reshape(-1), axis=0).reshape(
-                    nb, k, h, f
-                )
-                d = jnp.take(sr2, rows1, axis=0).reshape(nb, 1, h, f)
-                e = jnp.einsum(
-                    "bkhf,hf->bkh",
-                    jax.nn.leaky_relu(g + d, negative_slope), a,
-                )
-                e = jnp.where(valid, rep(e), -jnp.inf)  # [nb, k, H·F]
-                bmax = jax.lax.stop_gradient(e.max(axis=1))
-                shift = jnp.where(jnp.isfinite(bmax), bmax, 0.0)
-                ex = jnp.exp(e - shift[:, None, :])
-                den = ex.sum(axis=1)
-                if attn_dropout is not None:
-                    drop, slot = attn_dropout
-                    mask_in = jnp.ones((nb, k, h), ex.dtype)
-                    ex = ex * rep(
-                        drop((slot, (pi * (1 << 5) + bi) * (1 << 16) + ci),
-                             mask_in)
-                    )
-                return (g.reshape(nb, k, hf) * ex).sum(axis=1), den, bmax
+                e, _ = gather_logits(xg, cols2, vals2, rows1)
+                return (jax.lax.stop_gradient(e.max(axis=1)),)
 
             return body
 
         return body_for
 
-    num, den, _m = _panel_partials(pe, h, f, make_body)
+    def make_body_sum(shift):
+        def make_body(pi, start, width):
+            xg = _slice_table(sl2, start, width)
+
+            def body_for(k, bi):
+                def body(cols2, vals2, rows1, ci):
+                    nb = rows1.shape[0]
+                    e, g = gather_logits(xg, cols2, vals2, rows1)
+                    sh = jnp.take(shift, rows1, axis=0)[:, None, :]
+                    ex = jnp.exp(e - sh)
+                    den = ex.sum(axis=1)
+                    if attn_dropout is not None:
+                        drop, slot = attn_dropout
+                        mask_in = jnp.ones((nb, k, h), ex.dtype)
+                        ex = ex * rep(drop((slot, _fold_key(pi, bi, ci)), mask_in))
+                    return (g.reshape(nb, k, hf) * ex).sum(axis=1), den
+
+                return body
+
+            return body_for
+
+        return make_body
+
+    group, ser = _resolve(group_panels, serialize, pe)
+    num, den = _two_sweep(
+        pe, n, hf, s_l.dtype, make_body_max, make_body_sum, group, ser
+    )
     return (num / jnp.maximum(den, 1e-16)).reshape(n, h, f)

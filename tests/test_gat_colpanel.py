@@ -69,7 +69,6 @@ def test_gat_colpanel_grads_match_coo():
 
 
 def test_gat_colpanel_chunked_and_grouped(monkeypatch):
-    import pygcn_tpu.ops.colpanel as cp
     import pygcn_tpu.ops.gat_colpanel as gcp
 
     g = _graph(seed=5)
@@ -78,15 +77,19 @@ def test_gat_colpanel_chunked_and_grouped(monkeypatch):
     grad_ref = jax.grad(
         lambda v: jnp.sum(jnp.sin(gat_conv_colpanel(g, v, a_src, a_dst, 0.2)))
     )(s)
-    # force the lax.map chunk path (rematerialized) AND multiple merge groups
+    # force the lax.map chunk path (rematerialized) AND per-panel combine
+    # groups (the attention sweeps group by ATTN_GROUP_PANELS)
     monkeypatch.setattr(gcp, "ATTN_CHUNK_BUDGET_ELEMS", 64)
-    monkeypatch.setattr(cp, "COLPANEL_GROUP_PANELS", 1)
-    out = gat_conv_colpanel(g, s, a_src, a_dst, 0.2)
+    out = gat_conv_colpanel(g, s, a_src, a_dst, 0.2, group_panels=1)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
     grad = jax.grad(
-        lambda v: jnp.sum(jnp.sin(gat_conv_colpanel(g, v, a_src, a_dst, 0.2)))
+        lambda v: jnp.sum(jnp.sin(
+            gat_conv_colpanel(g, v, a_src, a_dst, 0.2, group_panels=1)))
     )(s)
     np.testing.assert_allclose(np.asarray(grad), np.asarray(grad_ref), atol=1e-5)
+    # unserialized schedule is numerically identical
+    out2 = gat_conv_colpanel(g, s, a_src, a_dst, 0.2, serialize=False)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref), atol=1e-5)
 
 
 def test_gatv2_colpanel_matches_coo():
@@ -146,3 +149,34 @@ def test_check_guard_rejects_zero_weights():
     with pytest.raises(ValueError, match="nonzero"):
         check_gat_colpanel(g)
     check_gat_colpanel(_graph())  # clean graph passes
+
+
+def test_check_guard_rejects_duplicate_edges():
+    import pytest
+
+    # duplicate pair (incl. one cancelling pair): tocsc coalesces them, so
+    # the colpanel layout attends once (or never) where the COO path
+    # attends per copy — the guard must catch both
+    snd = np.array([0, 1, 1, 2, 2], dtype=np.int32)
+    rcv = np.array([1, 2, 2, 0, 0], dtype=np.int32)
+    w = np.array([1.0, 0.5, 0.5, 1.0, -1.0], dtype=np.float32)
+    g = Graph.from_coo(
+        snd, rcv, w, n_nodes=3, build_dense=False, build_bcsr=False,
+        build_ell=False, build_hybrid=False, build_colpanel=True,
+        panel_width=2,
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        check_gat_colpanel(g)
+    # host-array form (the no-tunnel-pull path) sees the same failure
+    with pytest.raises(ValueError, match="duplicate"):
+        check_gat_colpanel(g, senders=snd, receivers=rcv, weights=w)
+
+
+def test_empty_layout_fallback_preserves_dtype():
+    from pygcn_tpu.ops.colpanel import ColPanelELL
+
+    pe = ColPanelELL(panels=(), starts=(), widths=(), n_rows=4, n_vrows=0)
+    s = jnp.zeros((4, H, F), jnp.bfloat16)
+    out = gat_conv_colpanel(pe, s, jnp.zeros((H, F), jnp.bfloat16),
+                            jnp.zeros((H, F), jnp.bfloat16))
+    assert out.dtype == jnp.bfloat16
