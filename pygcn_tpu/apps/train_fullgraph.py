@@ -405,10 +405,16 @@ def _time_and_report(args, graph, data, run_step, state, predict):
     print(f"epoch time: {dt * 1e3:.1f} ms  loss={loss_val:.4f}  "
           f"~{graph.n_edges * spmm_equiv / dt / 1e6:.0f} Medge-traversals/s")
     if data is not None:
+        # labeled datasets (--npz, --content/--cites, synthetic-with-labels)
+        # report and return accuracy so callers can assert on learning, not
+        # just on the loop having run
+        accs = {}
         preds = np.asarray(predict(state)).argmax(1)
         for split, idx in [("val", data.idx_val), ("test", data.idx_test)]:
             acc = float((preds[idx] == np.asarray(data.labels)[idx]).mean())
             print(f"{split} accuracy: {acc:.4f}")
+            accs[split] = acc
+        return {"dt": dt, **accs}
     return dt
 
 

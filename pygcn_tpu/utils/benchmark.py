@@ -17,6 +17,36 @@ from typing import Callable
 import numpy as np
 
 
+def memory_stats(fn: Callable, *args) -> dict:
+    """AOT-compile one application of ``fn(*args)`` and return the compiled
+    memory assignment (bytes). This pins memory-discipline claims (e.g. the
+    colpanel attention group serialization) to a measured figure instead of
+    an assumption: run it after any change to a products-scale schedule and
+    compare ``temp + argument + output`` against the chip's HBM. Works
+    through the axon remote-compile helper (the analysis rides the compiled
+    executable). Raises whatever the compiler raises — an OOM here is the
+    regression signal."""
+    import jax
+
+    compiled = jax.jit(fn).lower(*args).compile()
+    ma = compiled.memory_analysis()
+    out = {}
+    for k in ("temp_size_in_bytes", "argument_size_in_bytes",
+              "output_size_in_bytes", "alias_size_in_bytes",
+              "generated_code_size_in_bytes"):
+        v = getattr(ma, k, None)
+        if v is not None:
+            out[k] = int(v)
+    out["total_hbm_bytes"] = (
+        out.get("temp_size_in_bytes", 0)
+        + out.get("argument_size_in_bytes", 0)
+        + out.get("output_size_in_bytes", 0)
+        + out.get("generated_code_size_in_bytes", 0)
+        - out.get("alias_size_in_bytes", 0)
+    )
+    return out
+
+
 def time_chained(
     step_fn: Callable,
     init,

@@ -302,6 +302,41 @@ def test_train_fullgraph_clustered_convergence():
     assert np.isfinite(r["val"]), r
 
 
+def test_train_fullgraph_npz(tmp_path):
+    """An EXTERNALLY-authored .npz in the documented interchange schema
+    (README "Real datasets": ogbn-style edge_index/features/labels/idx_*,
+    raw — no save_npz_dataset markers) trains to converged accuracy via
+    --npz. This pins the path real ogbn-arxiv/Reddit exports would take
+    (the reference's own loader is disabled upstream, pygcn/utils.py:343-383)."""
+    from pygcn_tpu.apps import train_fullgraph
+
+    rng = np.random.default_rng(0)
+    n_blk, blk = 3, 50
+    n = n_blk * blk
+    labels = np.repeat(np.arange(n_blk), blk)
+    # SBM: dense intra-block, sparse inter-block; directed edge list with
+    # both orientations listed explicitly (as ogbn exports do)
+    p = np.where(labels[:, None] == labels[None, :], 0.15, 0.01)
+    a = rng.random((n, n)) < p
+    np.fill_diagonal(a, False)
+    a = a | a.T
+    recv, send = np.nonzero(a)
+    feats = (np.eye(n_blk)[labels] * 2.0 + rng.normal(size=(n, n_blk))
+             ).astype(np.float32)
+    idx = rng.permutation(n)
+    path = str(tmp_path / "ogbn_style.npz")
+    np.savez(
+        path,
+        edge_index=np.stack([recv, send]).astype(np.int64),  # [2, E]
+        features=feats,  # [N, F]
+        labels=labels.astype(np.int64),  # [N]
+        idx_train=idx[:60], idx_val=idx[60:100], idx_test=idx[100:],
+    )
+    r = train_fullgraph.main(["--npz", path, "--epochs", "60",
+                              "--hidden", "16", "--layers", "2"])
+    assert r["val"] >= 0.8 and r["test"] >= 0.8, r
+
+
 def test_train_fullgraph_extension_models():
     from pygcn_tpu.apps import train_fullgraph
 

@@ -96,9 +96,9 @@ def test_npz_dataset_roundtrip(tmp_path):
     # train_fullgraph and train_sampled consume the file end-to-end
     from pygcn_tpu.apps import train_fullgraph, train_sampled
 
-    dt = train_fullgraph.main(["--npz", path, "--epochs", "3",
-                               "--hidden", "8", "--layers", "2"])
-    assert dt > 0
+    r = train_fullgraph.main(["--npz", path, "--epochs", "3",
+                              "--hidden", "8", "--layers", "2"])
+    assert r["dt"] > 0 and 0.0 <= r["val"] <= 1.0
     acc = train_sampled.main(["--npz", path, "--epochs", "2",
                               "--batch_size", "16", "--fanouts", "4", "4",
                               "--hidden", "8"])

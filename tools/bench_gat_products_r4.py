@@ -48,6 +48,9 @@ def main():
     ap.add_argument("--budget", type=int, default=0,
                     help="override gat_colpanel.ATTN_CHUNK_BUDGET_ELEMS log2 "
                     "(0 = keep)")
+    ap.add_argument("--memstats", action="store_true",
+                    help="AOT-compile one application first and log the "
+                    "compiled memory assignment (pins the HBM schedule)")
     args = ap.parse_args()
     case = args.case
 
@@ -102,6 +105,12 @@ def main():
                 return jnp.sum(jnp.tanh(conv(c, v, x1, x2)))
 
             fn = lambda v, c, x1, x2: v - 1e-30 * jax.grad(loss)(v, c, x1, x2)
+        if args.memstats:
+            from pygcn_tpu.utils.benchmark import memory_stats
+
+            ms = memory_stats(fn, s, cp, a1, a2)
+            log(case=case, memstats=ms,
+                total_hbm_gb=ms["total_hbm_bytes"] / 2**30)
         t = time_chained(fn, s, iters=args.iters, reps=2, args=(cp, a1, a2))
         log(case=case, t_ms=t * 1e3, edges_per_s=n_edges / t)
         log(stage="done")
