@@ -38,6 +38,14 @@ def main(argv=None):
                          "neighborhood (--hidden = per-head width; v2 = "
                          "dynamic attention)")
     ap.add_argument("--gat_heads", type=int, default=4)
+    ap.add_argument("--homophily", type=float, default=0.9,
+                    help="exact edge homophily of the synthetic SBM")
+    ap.add_argument("--feature_signal", type=float, default=0.35,
+                    help="class-slice Bernoulli rate of the synthetic "
+                    "features (lower = harder, non-saturating benchmarks)")
+    ap.add_argument("--train_per_class", type=int, default=0,
+                    help="labeled training nodes per class "
+                    "(0 = n_nodes / (4 * n_classes))")
     ap.add_argument("--npz", default=None,
                     help="train on a real dataset in the .npz interchange "
                          "format instead of synthetic SBM data")
@@ -105,7 +113,9 @@ def main(argv=None):
         data = sbm_classification(
             n=args.n_nodes, n_classes=args.n_classes, feat_dim=args.feat_dim,
             avg_degree=args.avg_degree, seed=args.seed,
-            train_per_class=args.n_nodes // (4 * args.n_classes),
+            homophily=args.homophily, feature_signal=args.feature_signal,
+            train_per_class=(args.train_per_class
+                             or args.n_nodes // (4 * args.n_classes)),
             n_val=1000, n_test=2000, build_dense=False, build_bcsr=False, build_ell=False,
         )
     if args.locality:

@@ -294,9 +294,15 @@ def sbm_classification(
     seed: int = 0,
     *,
     adj_norm: str = "sym",
+    feature_signal: float = 0.35,
     **graph_kwargs,
 ) -> NodeClassificationData:
-    """Planetoid-shaped synthetic data: SBM graph + class-signal sparse features."""
+    """Planetoid-shaped synthetic data: SBM graph + class-signal sparse
+    features. ``homophily`` is the exact edge homophily; ``feature_signal``
+    is the Bernoulli rate on each class's preferred feature slice (vs the
+    0.02-0.08 background) — lower both to make the task non-saturating
+    (benchmark configs where accuracy should discriminate, not pin at 1.0).
+    """
     rng = np.random.default_rng(seed)
     labels = rng.integers(0, n_classes, n).astype(np.int32)
 
@@ -328,7 +334,7 @@ def sbm_classification(
     proto = rng.uniform(0.02, 0.08, (n_classes, feat_dim))
     slice_w = feat_dim // n_classes
     for c in range(n_classes):
-        proto[c, c * slice_w : (c + 1) * slice_w] = 0.35
+        proto[c, c * slice_w : (c + 1) * slice_w] = feature_signal
     features = (rng.uniform(size=(n, feat_dim)) < proto[labels]).astype(np.float32)
 
     order = rng.permutation(n)
