@@ -34,6 +34,9 @@ def main(argv=None):
     ap.add_argument("--lr", type=float, default=0.01)
     ap.add_argument("--weight_decay", type=float, default=0.0)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--memstats", action="store_true",
+                    help="AOT-compile the train step first and print its "
+                    "compiled HBM assignment (peak-memory pinning)")
     ap.add_argument("--remat", action="store_true",
                     help="rematerialize layer activations in the backward pass "
                          "(trade FLOPs for HBM on deep/wide configs)")
@@ -307,6 +310,18 @@ def main(argv=None):
             params, x, labels, mask, *aux_v)
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
+
+    if args.memstats:
+        # pin the compiled HBM assignment of the train step (flagship runs
+        # record peak memory, not just time — VERDICT r4)
+        from pygcn_tpu.utils.benchmark import memory_stats
+
+        ms = memory_stats(step, params, opt_state, x, labels, mask, *aux)
+        print(f"compiled step memory: {ms['total_hbm_bytes'] / 2**30:.2f} GiB "
+              f"(temp {ms.get('temp_size_in_bytes', 0) / 2**30:.2f} + args "
+              f"{ms.get('argument_size_in_bytes', 0) / 2**30:.2f} + out "
+              f"{ms.get('output_size_in_bytes', 0) / 2**30:.2f} + code "
+              f"{ms.get('generated_code_size_in_bytes', 0) / 2**30:.2f})")
 
     predict_jit = jax.jit(forward)
 

@@ -57,11 +57,12 @@ from pygcn_tpu.ops.colpanel import MATERIALIZE_PANEL_SLICES, ColPanelELL
 
 # Per-bucket gathered-transient budget (elements of the widest [slots, H·F']
 # tensor). Above it the bucket computes its per-vrow parts in row chunks
-# under lax.map — same scheme as colpanel._flat_bucket_partial, sized a
-# quarter as large because attention keeps ~3 slot-wide tensors live
+# under lax.map — same scheme as colpanel._flat_bucket_partial, sized an
+# eighth as large because attention keeps ~3 slot-wide tensors live
 # (logits, exp weights, gathered features) and the products schedule needs
-# every transient bounded.
-ATTN_CHUNK_BUDGET_ELEMS = 1 << 26
+# every transient bounded (the 1<<26 schedule compiled at 15.32 GB and
+# still ResourceExhausted'd at RUNTIME on the 15.75 GB chip).
+ATTN_CHUNK_BUDGET_ELEMS = 1 << 25
 
 # Panels per combine group (default for the ``group_panels`` argument).
 # Each group concatenates its buckets' per-vrow parts ([V_g, H·F] streams)
@@ -146,7 +147,12 @@ def _chunk_map(body, cols, vals, rows, k: int, hf: int, budget: int):
     are sliced away before the combine."""
     nb = cols.shape[0] // k
     if cols.shape[0] * hf <= budget:
-        return body(cols.reshape(nb, k), vals.reshape(nb, k), rows, jnp.int32(0))
+        # checkpoint SMALL buckets too: without it autodiff saves their
+        # [nb, k, H·F] exp/gather intermediates, and across the many
+        # sub-budget buckets of a products layout those residuals alone
+        # were ~100 GB of the (failed) backward schedule
+        return jax.checkpoint(body)(
+            cols.reshape(nb, k), vals.reshape(nb, k), rows, jnp.int32(0))
     rpc = max(1, budget // (k * hf))
     n_chunks = -(-nb // rpc)
     pad = n_chunks * rpc - nb
@@ -164,11 +170,15 @@ def _chunk_map(body, cols, vals, rows, k: int, hf: int, budget: int):
     return jax.tree.map(sl, out)
 
 
-def _walk(pe: ColPanelELL, accs, make_body, combine, group: int, serialize: bool):
+def _walk(pe: ColPanelELL, accs, make_body, scatter, group: int, serialize: bool):
     """Shared panel/group sweep. ``make_body(panel_idx, start, width)``
     returns the per-bucket chunk-body factory for that panel;
-    ``combine(accs, parts_cat, rows_cat)`` folds one group's concatenated
-    per-vrow part streams into the running accumulators. Groups are
+    ``scatter(accs, parts, rows)`` folds ONE BUCKET's per-vrow part streams
+    into the running accumulators — an in-place ``acc.at[rows].add/max``
+    scatter, NOT a per-group segment op: the scatter chain updates the
+    accumulator buffers in place (like a dynamic_update_slice chain), where
+    a per-group ``segment_sum`` materialized two extra [N, H·F] outputs per
+    group (~2.5 GB at products scale) before the add. Groups are
     (optionally) serialized via an opaque barrier on the accumulators +
     this group's index arrays (see SERIALIZE_GROUPS)."""
     hf = accs[0].shape[-1]
@@ -194,7 +204,6 @@ def _walk(pe: ColPanelELL, accs, make_body, combine, group: int, serialize: bool
                 (pi, bi, gated[na + i], vals, gated[na + nbk + i], k)
                 for i, (pi, bi, _, vals, _, k) in enumerate(buckets)
             ]
-        parts_lists, vrows = None, []
         bodies = {}
         for pi, bi, cols, vals, rows, k in buckets:
             if pi not in bodies:
@@ -203,14 +212,7 @@ def _walk(pe: ColPanelELL, accs, make_body, combine, group: int, serialize: bool
                 bodies[pi](k, bi), cols, vals, rows, k, hf,
                 ATTN_CHUNK_BUDGET_ELEMS,
             )
-            if parts_lists is None:
-                parts_lists = tuple([] for _ in parts)
-            for lst, p in zip(parts_lists, parts):
-                lst.append(p)
-            vrows.append(rows)
-        cat = tuple(jnp.concatenate(pl, axis=0) for pl in parts_lists)
-        r = jnp.concatenate(vrows, axis=0)
-        accs = combine(accs, cat, r)
+            accs = scatter(accs, parts, rows)
     return accs
 
 
@@ -228,33 +230,31 @@ def _two_sweep(pe, n, hf, dtype, make_body_max, make_body_sum, group, serialize)
         return jnp.zeros((n, hf), dtype), jnp.zeros((n, hf), dtype)
 
     # Sweep A: global per-receiver max. Exact-softmax shifts cancel, so the
-    # sweep is gradient-free by construction.
-    def comb_max(accs, cat, r):
-        (bmax,) = cat
-        m_g = jax.ops.segment_max(bmax, r, num_segments=n)
-        return (jnp.maximum(accs[0], m_g),)
+    # sweep is gradient-free by construction. Scatter-max handles duplicate
+    # vrow ids (a row split across panels) like segment_max would.
+    def sc_max(accs, parts, rows):
+        (bmax,) = parts
+        return (accs[0].at[rows].max(bmax),)
 
     (m,) = _walk(
-        pe, (jnp.full((n, hf), -jnp.inf, dtype),), make_body_max, comb_max,
+        pe, (jnp.full((n, hf), -jnp.inf, dtype),), make_body_max, sc_max,
         group, serialize,
     )
+    # rows with no edges keep m = -inf; chunk bodies guard the taken shift
+    # with isfinite (exp(-inf - 0) = 0), so no full-table `where` buffer is
+    # ever materialized
     m = jax.lax.stop_gradient(m)
-    # rows with no edges keep m=-inf; their (unused) shift becomes 0 so the
-    # per-slot exp(e - shift) stays well-defined (exp(-inf - 0) = 0)
-    shift = jnp.where(jnp.isfinite(m), m, 0.0).astype(dtype)
 
-    # Sweep B: final num/den accumulation — the cross-group combine is
+    # Sweep B: final num/den accumulation — the scatter-add chain is
     # linear, so the backward re-derives per-bucket terms via the chunk
-    # remat and carries no per-group residuals.
-    def comb_sum(accs, cat, r):
-        num_p, den_p = cat
-        return (
-            accs[0] + jax.ops.segment_sum(num_p, r, num_segments=n),
-            accs[1] + jax.ops.segment_sum(den_p, r, num_segments=n),
-        )
+    # remat and carries no per-group residuals (scatter-add's transpose is
+    # a gather from the cotangent).
+    def sc_sum(accs, parts, rows):
+        num_p, den_p = parts
+        return accs[0].at[rows].add(num_p), accs[1].at[rows].add(den_p)
 
     z = jnp.zeros((n, hf), dtype)
-    return _walk(pe, (z, z), make_body_sum(shift), comb_sum, group, serialize)
+    return _walk(pe, (z, z), make_body_sum(m), sc_sum, group, serialize)
 
 
 def _slice_table(x, s: int, w: int):
@@ -292,7 +292,6 @@ def gat_conv_colpanel(
     n, h, f = s.shape
     hf = h * f
     rep = lambda t: jnp.repeat(t, f, axis=-1)
-    logit_dst = rep(jnp.einsum("nhf,hf->nh", s, a_dst))
     s2 = s.reshape(n, hf)
 
     def panel_tables(start, width):
@@ -305,12 +304,16 @@ def gat_conv_colpanel(
         return xg, xl
 
     def logits(xl, cols2, vals2, rows1):
+        # the receiver logit is derived from the gathered s2 rows per chunk
+        # (same gather bytes as a precomputed-table read, minus the 1.25 GB
+        # [N, H·F] f-replicated logit_dst buffer at products scale)
         nb = rows1.shape[0]
         k = cols2.shape[1]
         valid = (vals2 != 0)[..., None]  # [nb, k, 1]
         flat = cols2.reshape(-1)
         lsrc = jnp.take(xl, flat, axis=0).reshape(nb, k, hf)
-        ldst = jnp.take(logit_dst, rows1, axis=0)[:, None, :]
+        srow = jnp.take(s2, rows1, axis=0).reshape(nb, h, f)
+        ldst = rep(jnp.einsum("bhf,hf->bh", srow, a_dst))[:, None, :]
         e = jax.nn.leaky_relu(lsrc + ldst, negative_slope)
         return jnp.where(valid, e, -jnp.inf), flat
 
@@ -326,7 +329,7 @@ def gat_conv_colpanel(
 
         return body_for
 
-    def make_body_sum(shift):
+    def make_body_sum(m):
         def make_body(pi, start, width):
             xg, xl = panel_tables(start, width)
 
@@ -334,7 +337,8 @@ def gat_conv_colpanel(
                 def body(cols2, vals2, rows1, ci):
                     nb = rows1.shape[0]
                     e, flat = logits(xl, cols2, vals2, rows1)
-                    sh = jnp.take(shift, rows1, axis=0)[:, None, :]
+                    sh = jnp.take(m, rows1, axis=0)
+                    sh = jnp.where(jnp.isfinite(sh), sh, 0.0)[:, None, :]
                     ex = jnp.exp(e - sh)  # [nb, k, H·F]
                     den = ex.sum(axis=1)
                     if attn_dropout is not None:
@@ -405,7 +409,7 @@ def gatv2_conv_colpanel(
 
         return body_for
 
-    def make_body_sum(shift):
+    def make_body_sum(m):
         def make_body(pi, start, width):
             xg = _slice_table(sl2, start, width)
 
@@ -413,7 +417,8 @@ def gatv2_conv_colpanel(
                 def body(cols2, vals2, rows1, ci):
                     nb = rows1.shape[0]
                     e, g = gather_logits(xg, cols2, vals2, rows1)
-                    sh = jnp.take(shift, rows1, axis=0)[:, None, :]
+                    sh = jnp.take(m, rows1, axis=0)
+                    sh = jnp.where(jnp.isfinite(sh), sh, 0.0)[:, None, :]
                     ex = jnp.exp(e - sh)
                     den = ex.sum(axis=1)
                     if attn_dropout is not None:
