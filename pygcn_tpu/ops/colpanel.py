@@ -160,6 +160,16 @@ def _flat_bucket_partial(x, cols, vals, k: int) -> jax.Array:
 # buffer would grow past HBM at ~2x products). None = global combine.
 COLPANEL_GROUP_PANELS = 8
 
+# Gate each group's cols/vals arrays behind an optimization_barrier on the
+# running output. The fused bucket kernels index flat [nb*k] vals as
+# [nb, k] — XLA materializes that relayout as a padded copy ((8,128) tiles:
+# 32x for k=4) and, because the copies depend only on ARGUMENTS, hoists
+# every bucket's copy to program start: ~3 GB of coexisting temps in the
+# products GCN train step (2.26 GB over HBM, r5 flagship memstats dump).
+# Gating scopes each group's copies to its own window; the combine chain
+# was already measured throughput-neutral when serialized.
+COLPANEL_SERIALIZE_GROUPS = True
+
 
 def col_panel_spmm_raw(pe: ColPanelELL, x: jax.Array) -> jax.Array:
     """``A @ x`` — per-panel small-table gathers, grouped combines."""
@@ -178,6 +188,22 @@ def col_panel_spmm_raw(pe: ColPanelELL, x: jax.Array) -> jax.Array:
         panels = pe.panels[g0 : g0 + group]
         starts = pe.starts[g0 : g0 + group]
         widths = pe.widths[g0 : g0 + group]
+        if COLPANEL_SERIALIZE_GROUPS and out is not None:
+            # 1-element token of the running output gates this group's
+            # (argument-only, hoistable) relayout copies without routing the
+            # [N, H] output buffer through the barrier
+            token = jax.lax.dynamic_slice(out, (0, 0), (1, 1))
+            flat = [a for fb in panels for a in (*fb.cols, *fb.vals)]
+            gated = jax.lax.optimization_barrier((token, *flat))
+            it = iter(gated[1:])
+            panels = [
+                FlatBuckets(
+                    cols=tuple(next(it) for _ in fb.cols),
+                    vals=tuple(next(it) for _ in fb.vals),
+                    rows=fb.rows, ks=fb.ks,
+                )
+                for fb in panels
+            ]
         # Write this group's partials into ONE preallocated buffer at static
         # offsets: XLA aliases the dynamic_update_slice chain in place, where
         # a jnp.concatenate of the partial list kept pieces + copy live
