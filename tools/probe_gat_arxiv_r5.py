@@ -98,25 +98,34 @@ def main():
         t = time_chained(gth, x2, iters=args.iters, reps=2, args=(flat_cols,))
         log(case="unit_gather", t_ms=t * 1e3, rows_per_s=slots / t)
 
-        gsl = jnp.asarray(rng.normal(size=(slots, hf)).astype(np.float32))
+        # loop-DEPENDENT payloads (a constant payload lets XLA hoist the
+        # scatter out of the timing loop entirely — measured 14.5B rows/s,
+        # i.e. nothing): gather-then-scatter and gather-then-segsum; report
+        # both combined and gather-subtracted estimates.
+        t_g = t
 
-        def sct(v, idx, payload):
-            z0 = jnp.zeros((n, hf), jnp.float32).at[idx].add(payload)
+        def gsct(v, idx):
+            p = jnp.take(v, idx, axis=0)
+            z0 = jnp.zeros((n, hf), jnp.float32).at[idx].add(p)
             return v + 1e-30 * z0
 
-        t = time_chained(sct, x2, iters=args.iters, reps=2,
-                         args=(flat_cols, gsl))
-        log(case="unit_scatter", t_ms=t * 1e3, rows_per_s=slots / t)
+        t = time_chained(gsct, x2, iters=args.iters, reps=2,
+                         args=(flat_cols,))
+        log(case="unit_gather_scatter", t_ms=t * 1e3,
+            scatter_only_ms=(t - t_g) * 1e3,
+            scatter_rows_per_s=slots / max(t - t_g, 1e-9))
 
-        vpay = jnp.asarray(rng.normal(size=(vrows, hf)).astype(np.float32))
+        def gseg(v, ridx):
+            p = jnp.take(v, ridx, axis=0)
+            return v + 1e-30 * jax.ops.segment_sum(p, ridx, num_segments=n)
 
-        def seg(v, ridx, payload):
-            return v + 1e-30 * jax.ops.segment_sum(payload, ridx,
-                                                   num_segments=n)
-
-        t = time_chained(seg, x2, iters=args.iters, reps=2,
-                         args=(all_rows, vpay))
-        log(case="unit_segsum", t_ms=t * 1e3, rows_per_s=vrows / t)
+        t = time_chained(gseg, x2, iters=args.iters, reps=2,
+                         args=(all_rows,))
+        # vrow gather is ~vrows/slots of t_g
+        t_vg = t_g * vrows / slots
+        log(case="unit_gather_segsum", t_ms=t * 1e3,
+            segsum_only_ms=(t - t_vg) * 1e3,
+            segsum_rows_per_s=vrows / max(t - t_vg, 1e-9))
     else:
         raise SystemExit(f"unknown case {case}")
     log(stage="done")
