@@ -87,6 +87,18 @@ def main():
     log(case=case, n_edges=n_edges, n_vrows=cp.n_vrows,
         built_s=time.time() - t0)
 
+    # regime sentinel (PERF_NOTES r4: 52x fresh-process swings): fixed
+    # 2M-row gather from a 16K table — reports which regime this process
+    # measured in so best-of-N draws are interpretable
+    import jax.numpy as _jnp
+
+    st = _jnp.asarray(rng.normal(size=(16384, 128)).astype(np.float32))
+    sidx = _jnp.asarray(rng.integers(0, 16384, 2_000_000).astype(np.int32))
+    s_fn = lambda v, idx: v + 1e-30 * _jnp.take(v, idx, axis=0).sum(
+        axis=0, keepdims=True)
+    sent_ms = time_chained(s_fn, st, iters=8, reps=2, args=(sidx,)) * 1e3
+    log(sentinel_gather_ms=round(sent_ms, 3))
+
     if case in ("gat_fwd", "gat_step", "gatv2_fwd", "gatv2_step"):
         h, f = GAT_H, GAT_F
         s = jnp.asarray(rng.normal(size=(n, h, f)).astype(np.float32))

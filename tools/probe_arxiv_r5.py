@@ -60,6 +60,21 @@ def main():
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(size=(n, H)).astype(np.float32))
 
+    # regime sentinel: a fixed 2M-row gather from a 16K-row table, timed in
+    # every probe process. The shared chip swings 12-52x across identical
+    # runs (PERF_NOTES r4; an arxiv hybrid case measured 94.6 ms in the
+    # same session where bench.py's best draw was 7.8 ms) — the sentinel
+    # lets each case report WHICH regime it measured in, so cross-case
+    # ratios use same-regime numbers only.
+    st = jnp.asarray(rng.normal(size=(16384, H)).astype(np.float32))
+    sidx = jnp.asarray(rng.integers(0, 16384, 2_000_000).astype(np.int32))
+    s_fn = lambda v, idx: v + 1e-30 * jnp.take(v, idx, axis=0).sum(
+        axis=0, keepdims=True)
+    from pygcn_tpu.utils.benchmark import time_chained as _tc
+
+    sent_ms = _tc(s_fn, st, iters=8, reps=2, args=(sidx,)) * 1e3
+    log(sentinel_gather_ms=round(sent_ms, 3))
+
     if case in ("hybrid", "tiles", "resid"):
         from pygcn_tpu.ops.hybrid import build_hybrid, hybrid_spmm_raw
 

@@ -86,6 +86,13 @@ def main():
         x = jnp.asarray(rng.normal(size=(n, H)).astype(np.float32))
         x.block_until_ready()
         log(case=case, n_edges=n_edges, built_s=time.time() - t0)
+        # regime sentinel (r5): fixed 2M-row gather from a 16K table
+        st = jnp.asarray(rng.normal(size=(16384, H)).astype(np.float32))
+        sidx = jnp.asarray(rng.integers(0, 16384, 2_000_000).astype(np.int32))
+        s_fn = lambda v, idx: v + 1e-30 * jnp.take(v, idx, axis=0).sum(
+            axis=0, keepdims=True)
+        sent = time_chained(s_fn, st, iters=8, reps=2, args=(sidx,))
+        log(sentinel_gather_ms=round(sent * 1e3, 3))
         t = time_chained(lambda v, c: v + 1e-30 * jnp.sum(
             col_panel_spmm_raw(c, v)), x, iters=8, reps=2, args=(cp,))
         log(case=case, t_ms=t * 1e3, edges_per_s=n_edges / t)

@@ -65,6 +65,14 @@ def main():
     log(case=case, n_edges=g.n_edges, slots=slots, vrows=vrows,
         built_s=time.time() - t0)
 
+    # regime sentinel (see probe_arxiv_r5): fixed 2M-row gather, 16K table
+    st = jnp.asarray(rng.normal(size=(16384, N_HEADS * F_HEAD)).astype(np.float32))
+    sidx = jnp.asarray(rng.integers(0, 16384, 2_000_000).astype(np.int32))
+    s_fn = lambda v, idx: v + 1e-30 * jnp.take(v, idx, axis=0).sum(
+        axis=0, keepdims=True)
+    sent_ms = time_chained(s_fn, st, iters=8, reps=2, args=(sidx,)) * 1e3
+    log(sentinel_gather_ms=round(sent_ms, 3))
+
     hf = N_HEADS * F_HEAD
     s = jnp.asarray(rng.normal(size=(n, N_HEADS, F_HEAD)).astype(np.float32))
     a1 = jnp.asarray(rng.normal(size=(N_HEADS, F_HEAD)).astype(np.float32) * .1)
