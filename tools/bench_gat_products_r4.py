@@ -48,6 +48,8 @@ def main():
     ap.add_argument("--budget", type=int, default=0,
                     help="override gat_colpanel.ATTN_CHUNK_BUDGET_ELEMS log2 "
                     "(0 = keep)")
+    ap.add_argument("--fine", action="store_true",
+                    help="fine bucket ladder (fill 0.88 vs 0.56 at products)")
     ap.add_argument("--memstats", action="store_true",
                     help="AOT-compile one application first and log the "
                     "compiled memory assignment (pins the HBM schedule)")
@@ -76,8 +78,10 @@ def main():
     n = int(z["n"])
     coo = sp.coo_matrix((z["data"], (z["row"], z["col"])), shape=(n, n))
     n_edges = int(coo.nnz)
+    ks = ((1, 2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64, 96, 128, 192, 256)
+          if args.fine else (4, 8, 16, 32, 64, 128, 256))
     with jax.default_device(cpu):
-        cp_host = build_col_panel_ell(coo.tocsc(), panel_width=args.pw)
+        cp_host = build_col_panel_ell(coo.tocsc(), panel_width=args.pw, ks=ks)
     del coo, z
     gc.collect()
     cp = jax.device_put(cp_host)

@@ -47,6 +47,8 @@ def main():
     ap.add_argument("--met", type=int, default=64,
                     help="hybrid min_edges_per_tile for the split (64 uses "
                     "the cached r3 split; other values re-split inline)")
+    ap.add_argument("--fine", action="store_true",
+                    help="colp_only: fine bucket ladder (fill 0.88 vs 0.56)")
     ap.add_argument("--budget_gb", type=float, default=2.0,
                     help="tile budget in f32-GB for re-splits (bf16 halves "
                     "the device bytes)")
@@ -75,8 +77,14 @@ def main():
         n = int(z["n"])
         coo = sp.coo_matrix((z["data"], (z["row"], z["col"])), shape=(n, n))
         n_edges = int(coo.nnz)
+        ks = ((1, 2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64, 96, 128, 192, 256)
+              if args.fine else (4, 8, 16, 32, 64, 128, 256))
         with jax.default_device(cpu):
-            cp_host = build_col_panel_ell(coo.tocsc(), panel_width=args.pw)
+            cp_host = build_col_panel_ell(coo.tocsc(), panel_width=args.pw,
+                                          ks=ks)
+        slots = sum(int(c.size) for p in cp_host.panels for c in p.cols)
+        log(ks="fine" if args.fine else "default", slots=slots,
+            fill=n_edges / max(slots, 1))
         del coo, z
         gc.collect()
         cp = jax.device_put(cp_host)
