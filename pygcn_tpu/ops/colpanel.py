@@ -189,12 +189,13 @@ def col_panel_spmm_raw(pe: ColPanelELL, x: jax.Array) -> jax.Array:
         starts = pe.starts[g0 : g0 + group]
         widths = pe.widths[g0 : g0 + group]
         if COLPANEL_SERIALIZE_GROUPS and out is not None:
-            # 1-element token of the running output gates this group's
-            # (argument-only, hoistable) relayout copies without routing the
-            # [N, H] output buffer through the barrier
-            token = jax.lax.dynamic_slice(out, (0, 0), (1, 1))
+            # route the running output through the barrier with the group's
+            # cols/vals: scopes their (argument-only, hoistable) 32x-padded
+            # relayout copies to this group's window (token-only gating
+            # measured WORSE on the attention path — see gat_colpanel._walk)
             flat = [a for fb in panels for a in (*fb.cols, *fb.vals)]
-            gated = jax.lax.optimization_barrier((token, *flat))
+            gated = jax.lax.optimization_barrier((out, *flat))
+            out = gated[0]
             it = iter(gated[1:])
             panels = [
                 FlatBuckets(

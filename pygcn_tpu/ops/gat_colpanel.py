@@ -192,24 +192,27 @@ def _walk(pe: ColPanelELL, accs, make_body, scatter, group: int, serialize: bool
             )
         ]
         if serialize and g0 > 0:
-            # gate this group's index AND value arrays on a 1-element token
-            # sliced from the running accumulator: the barrier delays the
-            # group's (hoistable, argument-only) relayout copies — cols2/
-            # vals2 [nb, k] tiles are 32x-padded at k=4 — until the previous
-            # groups' scatters have run, WITHOUT routing the [N, H·F]
-            # accumulators themselves through the barrier (a full-acc
-            # barrier risks a fresh accumulator copy per group).
+            # gate this group's index AND value arrays behind a barrier that
+            # routes the running accumulators: delays the group's
+            # (hoistable, argument-only) relayout copies — cols2/vals2
+            # [nb, k] tiles are 32x-padded at k=4 — until the previous
+            # groups' scatters have run. A lighter token-only variant (a
+            # 1-element accumulator slice through the barrier, accs passed
+            # around it) MEASURED WORSE: 16.01 GB vs 15.37 — without the
+            # accumulator routed through, each group's panel tables and
+            # gather streams overlap the next group's.
             nbk = len(buckets)
-            token = jax.lax.dynamic_slice(accs[0], (0, 0), (1, 1))
+            na = len(accs)
             gated = jax.lax.optimization_barrier(
-                (token,)
+                tuple(accs)
                 + tuple(b[2] for b in buckets)  # cols
                 + tuple(b[3] for b in buckets)  # vals
                 + tuple(b[4] for b in buckets)  # rows
             )
+            accs = gated[:na]
             buckets = [
-                (pi, bi, gated[1 + i], gated[1 + nbk + i],
-                 gated[1 + 2 * nbk + i], k)
+                (pi, bi, gated[na + i], gated[na + nbk + i],
+                 gated[na + 2 * nbk + i], k)
                 for i, (pi, bi, _, _, _, k) in enumerate(buckets)
             ]
         bodies = {}
