@@ -34,6 +34,11 @@ CL_AVG_DEG = 7.1  # chung-lu secondary: ~2.3M edges (round-1 headline config)
 H = 128
 ITERS = 20
 MIN_EDGES_PER_TILE = 64  # measured best on the v5e (PERF_NOTES r2)
+# bf16 tile VALUES (f32 MXU accumulate) measured 2.35x the f32 hybrid at
+# arxiv scale (3.32 vs 7.8 ms, PERF_NOTES r5) — normalized adjacency
+# weights at ~2e-3 relative rounding. The f32 variant stays timed and
+# reported inside the metric string.
+TILE_DTYPE = "bfloat16"
 
 
 def build_clustered():
@@ -64,6 +69,11 @@ def bench_tpu_clustered(adj) -> tuple[float, int, float, int]:
     graph = Graph.from_scipy(
         adj_lp, is_symmetric=True, build_dense=False, build_bcsr=False,
         build_hybrid=True, hybrid_min_edges_per_tile=MIN_EDGES_PER_TILE,
+        hybrid_tile_dtype=TILE_DTYPE,
+    )
+    graph_f32 = Graph.from_scipy(
+        adj_lp, is_symmetric=True, build_dense=False, build_bcsr=False,
+        build_hybrid=True, hybrid_min_edges_per_tile=MIN_EDGES_PER_TILE,
     )
     x = jnp.asarray(
         np.random.default_rng(0).normal(size=(graph.n_nodes, H)).astype(np.float32)
@@ -77,6 +87,8 @@ def bench_tpu_clustered(adj) -> tuple[float, int, float, int]:
     draws = [time_chained(lambda v: spmm(graph, v), x, iters=ITERS)
              for _ in range(3)]
     t = min(draws)
+    t_f32 = min(time_chained(lambda v: spmm(graph_f32, v), x, iters=ITERS)
+                for _ in range(3))
     # effective HBM traffic of the hybrid op (BASELINE speed-of-light audit):
     # residual ELL moves (col id + val + gathered H-row) per slot + the vrow
     # partials; BCSR moves tile values + an x and y slab per tile; plus the
@@ -88,9 +100,10 @@ def bench_tpu_clustered(adj) -> tuple[float, int, float, int]:
     if hy.bcsr is not None:
         tiles = int(hy.bcsr.data.shape[0])
         tm, tk = hy.bcsr.tm, hy.bcsr.tk
-        bytes_eff += tiles * 4 * (tm * tk + tk * H + tm * H)
+        tile_itemsize = hy.bcsr.data.dtype.itemsize  # 2 for bf16 tile values
+        bytes_eff += tiles * (tm * tk * tile_itemsize + 4 * (tk * H + tm * H))
     bytes_eff += graph.n_nodes * H * 4
-    return t, graph.n_edges, hy.tile_edges / graph.n_edges, bytes_eff, draws
+    return t, graph.n_edges, hy.tile_edges / graph.n_edges, bytes_eff, draws, t_f32
 
 
 def bench_tpu_chung_lu() -> tuple[float, int]:
@@ -141,7 +154,8 @@ HBM_GBPS = 819.0  # v5e HBM bandwidth ceiling (BASELINE "speed-of-light")
 
 def main():
     adj = build_clustered()
-    t_tpu, n_edges, tile_frac, bytes_eff, draws = bench_tpu_clustered(adj)
+    t_tpu, n_edges, tile_frac, bytes_eff, draws, t_f32 = bench_tpu_clustered(adj)
+    f32_meps = n_edges / t_f32 / 1e6
     edges_per_s = n_edges / t_tpu
     eff_gbps = bytes_eff / t_tpu / 1e9
     hbm_frac = eff_gbps / HBM_GBPS
@@ -160,6 +174,8 @@ def main():
             {
                 "metric": "spmm_edges_per_s_per_chip (arxiv-scale community graph, "
                 "H=128, shuffled ids -> lp locality order -> hybrid BCSR+ELL, "
+                "bf16 tile values / f32 accumulate "
+                f"(f32-tile variant = {f32_meps:.0f}M edges/s), "
                 f"{tile_frac:.0%} of edges on MXU tiles; effective "
                 f"{eff_gbps:.0f} GB/s = {hbm_frac:.0%} of the 819 GB/s v5e "
                 f"HBM ceiling; structure-free chung-lu "
