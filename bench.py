@@ -60,6 +60,8 @@ def bench_tpu_clustered(adj) -> tuple[float, int, float, int]:
     from pygcn_tpu.parallel.partition import locality_order
     from pygcn_tpu.utils.benchmark import time_chained
 
+    import gc
+
     g0 = Graph.from_scipy(
         adj, is_symmetric=True, build_dense=False, build_bcsr=False,
         build_ell=False, build_hybrid=False, build_colpanel=False,
@@ -71,10 +73,6 @@ def bench_tpu_clustered(adj) -> tuple[float, int, float, int]:
         build_hybrid=True, hybrid_min_edges_per_tile=MIN_EDGES_PER_TILE,
         hybrid_tile_dtype=TILE_DTYPE,
     )
-    graph_f32 = Graph.from_scipy(
-        adj_lp, is_symmetric=True, build_dense=False, build_bcsr=False,
-        build_hybrid=True, hybrid_min_edges_per_tile=MIN_EDGES_PER_TILE,
-    )
     x = jnp.asarray(
         np.random.default_rng(0).normal(size=(graph.n_nodes, H)).astype(np.float32)
     )
@@ -84,9 +82,19 @@ def bench_tpu_clustered(adj) -> tuple[float, int, float, int]:
     # is the FAST edge — take the best of 3 independent estimates so one
     # slow window doesn't misreport the kernel — and report the draw
     # distribution so the regime is visible in the artifact.
+    # bf16 tiles are measured with ONLY their own layout resident: the
+    # Mosaic bf16-tile pipelining win inverts under co-residency
+    # (PERF_NOTES r4/r5 — with a second hybrid resident the same op
+    # measured 7.83 ms vs 3.32 ms alone), so the f32 variant is built
+    # AFTER the headline timing.
     draws = [time_chained(lambda v: spmm(graph, v), x, iters=ITERS)
              for _ in range(3)]
     t = min(draws)
+    graph_f32 = Graph.from_scipy(
+        adj_lp, is_symmetric=True, build_dense=False, build_bcsr=False,
+        build_hybrid=True, hybrid_min_edges_per_tile=MIN_EDGES_PER_TILE,
+    )
+    gc.collect()
     t_f32 = min(time_chained(lambda v: spmm(graph_f32, v), x, iters=ITERS)
                 for _ in range(3))
     # effective HBM traffic of the hybrid op (BASELINE speed-of-light audit):
