@@ -62,17 +62,28 @@ def bench_tpu_clustered(adj) -> tuple[float, int, float, int]:
 
     import gc
 
-    g0 = Graph.from_scipy(
-        adj, is_symmetric=True, build_dense=False, build_bcsr=False,
-        build_ell=False, build_hybrid=False, build_colpanel=False,
-    )
-    perm = locality_order(g0, "lp")
-    adj_lp = adj.tocsr()[perm][:, perm].tocoo()
-    graph = Graph.from_scipy(
-        adj_lp, is_symmetric=True, build_dense=False, build_bcsr=False,
-        build_hybrid=True, hybrid_min_edges_per_tile=MIN_EDGES_PER_TILE,
-        hybrid_tile_dtype=TILE_DTYPE,
-    )
+    import jax
+
+    # Build graphs HOST-side and device_put one object at a time: the bf16
+    # tile win is pipelining-sensitive to co-resident buffers (PERF_NOTES
+    # r4/r5) — with the build-time COO arrays resident the same op measured
+    # 7.96 ms vs 3.32 ms with only the layout on device.
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        g0 = Graph.from_scipy(
+            adj, is_symmetric=True, build_dense=False, build_bcsr=False,
+            build_ell=False, build_hybrid=False, build_colpanel=False,
+        )
+        perm = locality_order(g0, "lp")
+        adj_lp = adj.tocsr()[perm][:, perm].tocoo()
+        graph_host = Graph.from_scipy(
+            adj_lp, is_symmetric=True, build_dense=False, build_bcsr=False,
+            build_hybrid=True, hybrid_min_edges_per_tile=MIN_EDGES_PER_TILE,
+            hybrid_tile_dtype=TILE_DTYPE,
+        )
+    del g0
+    gc.collect()
+    graph = jax.device_put(graph_host)
     x = jnp.asarray(
         np.random.default_rng(0).normal(size=(graph.n_nodes, H)).astype(np.float32)
     )
@@ -87,15 +98,23 @@ def bench_tpu_clustered(adj) -> tuple[float, int, float, int]:
     # (PERF_NOTES r4/r5 — with a second hybrid resident the same op
     # measured 7.83 ms vs 3.32 ms alone), so the f32 variant is built
     # AFTER the headline timing.
-    draws = [time_chained(lambda v: spmm(graph, v), x, iters=ITERS)
+    # layouts ride as jit ARGUMENTS (not closure constants) — matches the
+    # fast-regime probe exactly; constants also bloat the remote-compile
+    # payload (CLAUDE.md)
+    draws = [time_chained(lambda v, g: spmm(g, v), x, iters=ITERS,
+                          args=(graph,))
              for _ in range(3)]
     t = min(draws)
-    graph_f32 = Graph.from_scipy(
-        adj_lp, is_symmetric=True, build_dense=False, build_bcsr=False,
-        build_hybrid=True, hybrid_min_edges_per_tile=MIN_EDGES_PER_TILE,
-    )
+    with jax.default_device(cpu):
+        graph_f32_host = Graph.from_scipy(
+            adj_lp, is_symmetric=True, build_dense=False, build_bcsr=False,
+            build_hybrid=True, hybrid_min_edges_per_tile=MIN_EDGES_PER_TILE,
+        )
+    graph_f32 = jax.device_put(graph_f32_host)
+    del graph_f32_host
     gc.collect()
-    t_f32 = min(time_chained(lambda v: spmm(graph_f32, v), x, iters=ITERS)
+    t_f32 = min(time_chained(lambda v, g: spmm(g, v), x, iters=ITERS,
+                             args=(graph_f32,))
                 for _ in range(3))
     # effective HBM traffic of the hybrid op (BASELINE speed-of-light audit):
     # residual ELL moves (col id + val + gathered H-row) per slot + the vrow
@@ -131,7 +150,8 @@ def bench_tpu_chung_lu() -> tuple[float, int]:
     x = jnp.asarray(
         np.random.default_rng(0).normal(size=(graph.n_nodes, H)).astype(np.float32)
     )
-    t = min(time_chained(lambda v: spmm(graph, v), x, iters=ITERS)
+    t = min(time_chained(lambda v, g: spmm(g, v), x, iters=ITERS,
+                         args=(graph,))
             for _ in range(3))
     return t, graph.n_edges
 
