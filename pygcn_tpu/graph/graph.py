@@ -247,11 +247,15 @@ class Graph:
         # node graphs.
         colpanel = colpanel_t = None
         if build_colpanel:
+            from pygcn_tpu.ops.colpanel import COLPANEL_KS
             from pygcn_tpu.ops.colpanel import build_col_panel_ell as _mk_cp
 
-            colpanel = _mk_cp(coo, panel_width, ell_ks)
+            # colpanel uses its own FINE bucket ladder (per-panel degrees
+            # are small; the shared ell_ks ladder wastes 44% of slots at
+            # products scale — 1.73x measured, see ops/colpanel.py)
+            colpanel = _mk_cp(coo, panel_width, COLPANEL_KS)
             colpanel_t = colpanel if is_symmetric else _mk_cp(
-                coo.T.tocsr(), panel_width, ell_ks
+                coo.T.tocsr(), panel_width, COLPANEL_KS
             )
 
         build_meta = (
