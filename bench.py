@@ -103,7 +103,7 @@ def bench_tpu_clustered(adj) -> tuple[float, int, float, int]:
     # payload (CLAUDE.md)
     draws = [time_chained(lambda v, g: spmm(g, v), x, iters=ITERS,
                           args=(graph,))
-             for _ in range(3)]
+             for _ in range(5)]
     t = min(draws)
     with jax.default_device(cpu):
         graph_f32_host = Graph.from_scipy(
