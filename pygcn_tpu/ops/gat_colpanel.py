@@ -235,10 +235,11 @@ def _resolve(group_panels, serialize, pe):
 
 
 def _two_sweep(pe, n, hf, dtype, make_body_max, make_body_sum, group, serialize):
-    """Exact two-sweep edge softmax over the layout. Returns (num, den),
-    each [N, H·F] (den f-replicated)."""
+    """Exact two-sweep edge softmax over the layout. Returns
+    (num, den, m), each [N, H·F] (den/m f-replicated)."""
     if not pe.panels:  # every panel empty (degenerate layouts)
-        return jnp.zeros((n, hf), dtype), jnp.zeros((n, hf), dtype)
+        z = jnp.zeros((n, hf), dtype)
+        return z, z, jnp.full((n, hf), -jnp.inf, dtype)
 
     # Sweep A: global per-receiver max. Exact-softmax shifts cancel, so the
     # sweep is gradient-free by construction. Scatter-max handles duplicate
@@ -265,7 +266,8 @@ def _two_sweep(pe, n, hf, dtype, make_body_max, make_body_sum, group, serialize)
         return accs[0].at[rows].add(num_p), accs[1].at[rows].add(den_p)
 
     z = jnp.zeros((n, hf), dtype)
-    return _walk(pe, (z, z), make_body_sum(m), sc_sum, group, serialize)
+    num, den = _walk(pe, (z, z), make_body_sum(m), sc_sum, group, serialize)
+    return num, den, m
 
 
 def _slice_table(x, s: int, w: int):
@@ -281,6 +283,27 @@ def _fold_key(pi: int, bi: int, ci):
     return (pi * (1 << 5) + bi) * (1 << 16) + ci
 
 
+def _scan_chunks(body, carry, cols, vals, rows, k: int, hf: int, budget: int):
+    """Backward-sweep chunking: ``body(carry, cols2, vals2, rows1) ->
+    (carry, per_vrow_out)`` over row chunks of a flat bucket, THREADING a
+    carry (the panel's [w, H·F] source-grad buffer + scalar-ish grads) so
+    per-SLOT scatter contributions accumulate in place instead of
+    materializing slot-wide outputs. Returns (carry, [nb, hf])."""
+    nb = cols.shape[0] // k
+    if cols.shape[0] * hf <= budget:
+        return body(carry, cols.reshape(nb, k), vals.reshape(nb, k), rows)
+    rpc = max(1, budget // (k * hf))
+    n_chunks = -(-nb // rpc)
+    pad = n_chunks * rpc - nb
+    cols_p = jnp.pad(cols, (0, pad * k)).reshape(n_chunks, rpc, k)
+    vals_p = jnp.pad(vals, (0, pad * k)).reshape(n_chunks, rpc, k)
+    rows_p = jnp.pad(rows, (0, pad)).reshape(n_chunks, rpc)
+    carry, outs = jax.lax.scan(
+        lambda c, cvr: body(c, *cvr), carry, (cols_p, vals_p, rows_p)
+    )
+    return carry, outs.reshape(n_chunks * rpc, hf)[:nb]
+
+
 def gat_conv_colpanel(
     graph,
     s: jax.Array,  # [N, H, F'] per-head transformed features
@@ -294,12 +317,35 @@ def gat_conv_colpanel(
     """Exact two-sweep GAT convolution over ``graph.colpanel``. All per-slot
     algebra rides f-replicated ``[.., H·F]`` lanes (the narrow-lane padding
     lesson from ``gat_conv_ell_onepass``). ``graph`` may be a bare
-    :class:`ColPanelELL` (probes pass the layout as a jit argument)."""
+    :class:`ColPanelELL` (probes pass the layout as a jit argument).
+
+    Differentiation: without attention dropout, gradients flow through a
+    HAND-WRITTEN VJP (:func:`_gat_v1_bwd`) — autodiff's per-use cotangent
+    accumulation for the shared feature table assigns a full-size [N, H·F]
+    pad/scatter buffer per panel slice and per receiver take (139.95 GB at
+    products scale, PERF_NOTES r5); the manual backward re-derives alpha
+    per bucket flash-style and accumulates source grads into panel-local
+    [w, H·F] buffers followed by one contiguous slice-add each. With
+    ``attn_dropout`` the autodiff path is used (training at that scale
+    routes through the sampled paths)."""
     pe = graph if isinstance(graph, ColPanelELL) else graph.colpanel
     if pe is None:
         raise ValueError(
             "graph has no colpanel layout; build with build_colpanel=True"
         )
+    group, ser = _resolve(group_panels, serialize, pe)
+    if attn_dropout is None and pe.panels:
+        return _gat_v1_pair(
+            float(negative_slope), group, ser, pe, s, a_src, a_dst
+        )
+    out, _m, _den = _gat_v1_impl(
+        pe, s, a_src, a_dst, negative_slope, attn_dropout, group, ser
+    )
+    return out
+
+
+def _gat_v1_impl(pe, s, a_src, a_dst, negative_slope, attn_dropout,
+                 group, ser):
     n, h, f = s.shape
     hf = h * f
     rep = lambda t: jnp.repeat(t, f, axis=-1)
@@ -365,11 +411,146 @@ def gat_conv_colpanel(
 
         return make_body
 
-    group, ser = _resolve(group_panels, serialize, pe)
-    num, den = _two_sweep(
+    num, den, m = _two_sweep(
         pe, n, hf, s.dtype, make_body_max, make_body_sum, group, ser
     )
-    return (num / jnp.maximum(den, 1e-16)).reshape(n, h, f)
+    out = (num / jnp.maximum(den, 1e-16)).reshape(n, h, f)
+    return out, m, den
+
+
+def _gat_v1_fwd(negative_slope, group, ser, pe, s, a_src, a_dst):
+    out, m, den = _gat_v1_impl(
+        pe, s, a_src, a_dst, negative_slope, None, group, ser
+    )
+    return out, (pe, s, a_src, a_dst, m, den, out)
+
+
+def _gat_v1_bwd(negative_slope, group, ser, res, dout):
+    """Hand-written backward for the two-sweep colpanel GAT (third sweep).
+
+    Per bucket, alpha is re-derived flash-style from the saved (m, den)
+    and the standard softmax-attention gradient identities applied in
+    f-replicated lane space::
+
+        P  = dout / den                       (numerator path, per lane)
+        S1 = sum_f g * P   (per head)         Q = sum_f dout*out/den
+        de = ex * (S1 - Q)                    dpre = de * leaky'(pre)
+        dxg[u] += ex*P (g path) + dpre * a_src        [slot -> panel buffer]
+        dld[v] += sum_k dpre                          [vrow -> table]
+        da_src += sum_slots dpre * g
+        ds2    += per-panel slice-adds of dxg  +  dld * a_dst (receiver)
+        da_dst  = sum_v dld * s2
+
+    Source grads scatter into the panel's own [w, H·F] buffer (small-table
+    rate) and land in ds2 via ONE contiguous slice-add per panel — the
+    in-place chain autodiff could not produce (its per-use cotangents
+    assigned 139.95 GB at products scale; PERF_NOTES r5)."""
+    pe, s, a_src, a_dst, m, den, out = res
+    n, h, f = s.shape
+    hf = h * f
+    rep = lambda t: jnp.repeat(t, f, axis=-1)
+    s2 = s.reshape(n, hf)
+    out2 = out.reshape(n, hf)
+    dout2 = dout.reshape(n, hf)
+    deng = jnp.maximum(den, 1e-16)
+    p_tab = dout2 / deng  # [N, hf]
+    q_head = (dout2 * out2 / deng).reshape(n, h, f).sum(axis=-1)  # [N, h]
+    q_tab = rep(q_head)  # [N, hf]
+    asrc_flat = a_src.reshape(hf)
+    adst_flat = a_dst.reshape(hf)
+
+    ds2 = jnp.zeros((n, hf), s.dtype)
+    dld = jnp.zeros((n, hf), s.dtype)
+    dasrc = jnp.zeros((1, hf), s.dtype)
+
+    for g0 in range(0, len(pe.panels), group):
+        buckets = [
+            (pi, bi, cols, vals, rows, k)
+            for pi in range(g0, min(g0 + group, len(pe.panels)))
+            for bi, (cols, vals, rows, k) in enumerate(
+                zip(pe.panels[pi].cols, pe.panels[pi].vals,
+                    pe.panels[pi].rows, pe.panels[pi].ks)
+            )
+        ]
+        if ser and g0 > 0:
+            nbk = len(buckets)
+            gated = jax.lax.optimization_barrier(
+                (ds2, dld, dasrc)
+                + tuple(b[2] for b in buckets)
+                + tuple(b[3] for b in buckets)
+                + tuple(b[4] for b in buckets)
+            )
+            ds2, dld, dasrc = gated[:3]
+            buckets = [
+                (pi, bi, gated[3 + i], gated[3 + nbk + i],
+                 gated[3 + 2 * nbk + i], k)
+                for i, (pi, bi, _, _, _, k) in enumerate(buckets)
+            ]
+        tables = {}
+        dxgs = {}
+        for pi, bi, cols, vals, rows, k in buckets:
+            if pi not in tables:
+                start, width = pe.starts[pi], pe.widths[pi]
+                xg = _slice_table(s2, start, width)
+                xl = rep(jnp.einsum("whf,hf->wh", xg.reshape(-1, h, f), a_src))
+                tables[pi] = (xg, xl)
+                dxgs[pi] = jnp.zeros((width, hf), s.dtype)
+            xg, xl = tables[pi]
+
+            def body(carry, cols2, vals2, rows1):
+                dxg_c, dasrc_c = carry
+                nb = rows1.shape[0]
+                kk = cols2.shape[1]
+                valid = (vals2 != 0)[..., None]  # [nb, k, 1]
+                flat = cols2.reshape(-1)
+                lsrc = jnp.take(xl, flat, axis=0).reshape(nb, kk, hf)
+                srow = jnp.take(s2, rows1, axis=0).reshape(nb, h, f)
+                ldst = rep(jnp.einsum("bhf,hf->bh", srow, a_dst))[:, None, :]
+                pre = lsrc + ldst
+                e = jnp.where(valid, jax.nn.leaky_relu(pre, negative_slope),
+                              -jnp.inf)
+                sh = jnp.take(m, rows1, axis=0)
+                sh = jnp.where(jnp.isfinite(sh), sh, 0.0)[:, None, :]
+                ex = jnp.exp(e - sh)  # [nb, k, hf]
+                g3 = jnp.take(xg, flat, axis=0).reshape(nb, kk, hf)
+                pr = jnp.take(p_tab, rows1, axis=0)[:, None, :]
+                qr = jnp.take(q_tab, rows1, axis=0)[:, None, :]
+                s1 = rep((g3 * pr).reshape(nb, kk, h, f).sum(axis=-1))
+                de = ex * (s1 - qr)
+                # >= 0 matches jax.nn.leaky_relu's autodiff convention at 0
+                dpre = de * jnp.where(pre >= 0, 1.0, negative_slope)
+                dpre = jnp.where(valid, dpre, 0.0)
+                contrib = ex * pr + dpre * asrc_flat[None, None, :]
+                dxg_c = dxg_c.at[flat].add(contrib.reshape(-1, hf))
+                dasrc_c = dasrc_c + (dpre * g3).sum(axis=(0, 1))[None, :]
+                return (dxg_c, dasrc_c), dpre.sum(axis=1)  # [nb, hf]
+
+            (dxgs[pi], dasrc), dld_b = _scan_chunks(
+                body, (dxgs[pi], dasrc), cols, vals, rows, k, hf,
+                ATTN_CHUNK_BUDGET_ELEMS,
+            )
+            dld = dld.at[rows].add(dld_b)
+        for pi, dxg in dxgs.items():
+            start = pe.starts[pi]
+            ds2 = ds2.at[start : start + pe.widths[pi]].add(dxg)
+
+    # receiver-side closure: ld = einsum(s2_row, a_dst) replicated
+    ds2 = ds2 + dld * adst_flat[None, :]
+    dadst = (dld * s2).reshape(n, h, f).sum(axis=0)
+    dasrc_hf = dasrc[0].reshape(h, f)
+    zeros_pe = jax.tree.map(jnp.zeros_like, pe)
+    return zeros_pe, ds2.reshape(n, h, f), dasrc_hf, dadst
+
+
+def _gat_v1_raw(negative_slope, group, ser, pe, s, a_src, a_dst):
+    out, _m, _den = _gat_v1_impl(
+        pe, s, a_src, a_dst, negative_slope, None, group, ser
+    )
+    return out
+
+
+_gat_v1_pair = jax.custom_vjp(_gat_v1_raw, nondiff_argnums=(0, 1, 2))
+_gat_v1_pair.defvjp(_gat_v1_fwd, _gat_v1_bwd)
 
 
 def gatv2_conv_colpanel(
@@ -445,7 +626,7 @@ def gatv2_conv_colpanel(
         return make_body
 
     group, ser = _resolve(group_panels, serialize, pe)
-    num, den = _two_sweep(
+    num, den, _m = _two_sweep(
         pe, n, hf, s_l.dtype, make_body_max, make_body_sum, group, ser
     )
     return (num / jnp.maximum(den, 1e-16)).reshape(n, h, f)
