@@ -566,12 +566,27 @@ def gatv2_conv_colpanel(
     """Exact two-sweep GATv2 over ``graph.colpanel``. The v2 logit
     (``a · leaky(s_l[u] + s_r[v])``, an F-reduction per slot) needs the
     gathered source features in BOTH sweeps, so v2 pays a second feature
-    gather where v1's sweep A reads only per-node logit scalars."""
+    gather where v1's sweep A reads only per-node logit scalars.
+
+    Differentiation mirrors v1: without attention dropout gradients flow
+    through a hand-written VJP (:func:`_gatv2_bwd`) — the autodiff step
+    assigned 121.10 GB at products scale (PERF_NOTES r5) from the same
+    per-use cotangent accumulation mechanism the v1 VJP removes."""
     pe = graph if isinstance(graph, ColPanelELL) else graph.colpanel
     if pe is None:
         raise ValueError(
             "graph has no colpanel layout; build with build_colpanel=True"
         )
+    group, ser = _resolve(group_panels, serialize, pe)
+    if attn_dropout is None and pe.panels:
+        return _gatv2_pair(float(negative_slope), group, ser, pe, s_l, s_r, a)
+    out, _m, _den = _gatv2_impl(
+        pe, s_l, s_r, a, negative_slope, attn_dropout, group, ser
+    )
+    return out
+
+
+def _gatv2_impl(pe, s_l, s_r, a, negative_slope, attn_dropout, group, ser):
     n, h, f = s_l.shape
     hf = h * f
     rep = lambda t: jnp.repeat(t, f, axis=-1)
@@ -625,8 +640,137 @@ def gatv2_conv_colpanel(
 
         return make_body
 
-    group, ser = _resolve(group_panels, serialize, pe)
-    num, den, _m = _two_sweep(
+    num, den, m = _two_sweep(
         pe, n, hf, s_l.dtype, make_body_max, make_body_sum, group, ser
     )
-    return (num / jnp.maximum(den, 1e-16)).reshape(n, h, f)
+    out = (num / jnp.maximum(den, 1e-16)).reshape(n, h, f)
+    return out, m, den
+
+
+def _gatv2_fwd(negative_slope, group, ser, pe, s_l, s_r, a):
+    out, m, den = _gatv2_impl(
+        pe, s_l, s_r, a, negative_slope, None, group, ser
+    )
+    return out, (pe, s_l, s_r, a, m, den, out)
+
+
+def _gatv2_bwd(negative_slope, group, ser, res, dout):
+    """Hand-written backward for the two-sweep colpanel GATv2 (third sweep,
+    the mechanical v2 transpose of :func:`_gat_v1_bwd`).
+
+    v2's logit is ``e[u→v,h] = Σ_f a[h,f]·leaky(s_l[u]+s_r[v])[h,f]`` and
+    its message is ``s_l[u]``, so alpha is re-derived per bucket from the
+    saved (m, den) and the chain splits as::
+
+        P  = dout / den                Q = Σ_f dout·out/den   (per head)
+        de = ex · (Σ_f s_l[u]·P − Q)   (per-head scalar; lanes constant)
+        dl = de · a                    dpre = dl · leaky'(pre)
+        ds_l[u] += ex·P (message path) + dpre (logit path)   [panel buffer]
+        ds_r[v] += Σ_k dpre                                   [vrow scatter]
+        da      += Σ_slots de · leaky(pre)
+
+    Source grads accumulate into panel-local [w, H·F] buffers followed by
+    one contiguous slice-add each (the in-place chain autodiff could not
+    produce: 121.10 GB assigned at products scale, PERF_NOTES r5)."""
+    pe, s_l, s_r, a, m, den, out = res
+    n, h, f = s_l.shape
+    hf = h * f
+    rep = lambda t: jnp.repeat(t, f, axis=-1)
+    sl2 = s_l.reshape(n, hf)
+    sr2 = s_r.reshape(n, hf)
+    out2 = out.reshape(n, hf)
+    dout2 = dout.reshape(n, hf)
+    deng = jnp.maximum(den, 1e-16)
+    p_tab = dout2 / deng  # [N, hf]
+    q_tab = rep((dout2 * out2 / deng).reshape(n, h, f).sum(axis=-1))
+
+    dsl = jnp.zeros((n, hf), s_l.dtype)
+    dsr = jnp.zeros((n, hf), s_l.dtype)
+    da = jnp.zeros((1, hf), s_l.dtype)
+
+    for g0 in range(0, len(pe.panels), group):
+        buckets = [
+            (pi, bi, cols, vals, rows, k)
+            for pi in range(g0, min(g0 + group, len(pe.panels)))
+            for bi, (cols, vals, rows, k) in enumerate(
+                zip(pe.panels[pi].cols, pe.panels[pi].vals,
+                    pe.panels[pi].rows, pe.panels[pi].ks)
+            )
+        ]
+        if ser and g0 > 0:
+            nbk = len(buckets)
+            gated = jax.lax.optimization_barrier(
+                (dsl, dsr, da)
+                + tuple(b[2] for b in buckets)
+                + tuple(b[3] for b in buckets)
+                + tuple(b[4] for b in buckets)
+            )
+            dsl, dsr, da = gated[:3]
+            buckets = [
+                (pi, bi, gated[3 + i], gated[3 + nbk + i],
+                 gated[3 + 2 * nbk + i], k)
+                for i, (pi, bi, _, _, _, k) in enumerate(buckets)
+            ]
+        tables = {}
+        dxgs = {}
+        for pi, bi, cols, vals, rows, k in buckets:
+            if pi not in tables:
+                start, width = pe.starts[pi], pe.widths[pi]
+                tables[pi] = _slice_table(sl2, start, width)
+                dxgs[pi] = jnp.zeros((width, hf), s_l.dtype)
+            xg = tables[pi]
+
+            def body(carry, cols2, vals2, rows1):
+                dxg_c, da_c = carry
+                nb = rows1.shape[0]
+                kk = cols2.shape[1]
+                valid = (vals2 != 0)[..., None]  # [nb, k, 1]
+                flat = cols2.reshape(-1)
+                g4 = jnp.take(xg, flat, axis=0).reshape(nb, kk, h, f)
+                d4 = jnp.take(sr2, rows1, axis=0).reshape(nb, 1, h, f)
+                pre = g4 + d4  # [nb, k, h, f]
+                lk = jax.nn.leaky_relu(pre, negative_slope)
+                e = jnp.where(
+                    valid, rep(jnp.einsum("bkhf,hf->bkh", lk, a)), -jnp.inf
+                )
+                sh = jnp.take(m, rows1, axis=0)
+                sh = jnp.where(jnp.isfinite(sh), sh, 0.0)[:, None, :]
+                ex = jnp.exp(e - sh)  # [nb, k, hf]
+                g_hf = g4.reshape(nb, kk, hf)
+                pr = jnp.take(p_tab, rows1, axis=0)[:, None, :]
+                qr = jnp.take(q_tab, rows1, axis=0)[:, None, :]
+                s1 = rep((g_hf * pr).reshape(nb, kk, h, f).sum(axis=-1))
+                de = ex * (s1 - qr)  # [nb, k, hf]; constant across f lanes
+                de_h = de.reshape(nb, kk, h, f)[..., :1]  # [nb, k, h, 1]
+                # >= 0 matches jax.nn.leaky_relu's autodiff convention at 0
+                dpre = de_h * a[None, None] * jnp.where(
+                    pre >= 0, 1.0, negative_slope)
+                dpre = jnp.where(valid[..., None], dpre, 0.0)
+                da_c = da_c + (de_h * lk).sum(axis=(0, 1)).reshape(1, hf)
+                contrib = ex * pr + dpre.reshape(nb, kk, hf)
+                dxg_c = dxg_c.at[flat].add(contrib.reshape(-1, hf))
+                return (dxg_c, da_c), dpre.reshape(nb, kk, hf).sum(axis=1)
+
+            (dxgs[pi], da), dsr_b = _scan_chunks(
+                body, (dxgs[pi], da), cols, vals, rows, k, hf,
+                ATTN_CHUNK_BUDGET_ELEMS,
+            )
+            dsr = dsr.at[rows].add(dsr_b)
+        for pi, dxg in dxgs.items():
+            start = pe.starts[pi]
+            dsl = dsl.at[start : start + pe.widths[pi]].add(dxg)
+
+    da_hf = da[0].reshape(h, f)
+    zeros_pe = jax.tree.map(jnp.zeros_like, pe)
+    return (zeros_pe, dsl.reshape(n, h, f), dsr.reshape(n, h, f), da_hf)
+
+
+def _gatv2_raw(negative_slope, group, ser, pe, s_l, s_r, a):
+    out, _m, _den = _gatv2_impl(
+        pe, s_l, s_r, a, negative_slope, None, group, ser
+    )
+    return out
+
+
+_gatv2_pair = jax.custom_vjp(_gatv2_raw, nondiff_argnums=(0, 1, 2))
+_gatv2_pair.defvjp(_gatv2_fwd, _gatv2_bwd)

@@ -101,6 +101,43 @@ def test_gatv2_colpanel_matches_coo():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
+def test_gatv2_colpanel_grads_match_coo():
+    g = _graph(seed=17)
+    s_l, s_r, a, _ = _inputs(g.n_nodes, seed=18)
+
+    def _ref_v2(g_, sl, sr, aa):
+        alpha = gatv2_attention(g_, sl, sr, aa, 0.2)
+        return attention_aggregate(g_, sl, alpha)
+
+    def loss(fn, sl, sr, aa):
+        return jnp.sum(jnp.sin(fn(g, sl, sr, aa)))
+
+    gc = jax.grad(
+        lambda *x: loss(lambda g_, *b: gatv2_conv_colpanel(g_, *b, 0.2), *x),
+        argnums=(0, 1, 2))(s_l, s_r, a)
+    gr = jax.grad(lambda *x: loss(_ref_v2, *x), argnums=(0, 1, 2))(s_l, s_r, a)
+    for c, r in zip(gc, gr):
+        np.testing.assert_allclose(np.asarray(c), np.asarray(r), atol=1e-5)
+
+
+def test_gatv2_colpanel_grads_chunked_and_grouped(monkeypatch):
+    import pygcn_tpu.ops.gat_colpanel as gcp
+
+    g = _graph(seed=19)
+    s_l, s_r, a, _ = _inputs(g.n_nodes, seed=20)
+    grad_ref = jax.grad(
+        lambda v: jnp.sum(jnp.sin(gatv2_conv_colpanel(g, v, s_r, a, 0.2)))
+    )(s_l)
+    # force the backward's lax.scan chunk path AND per-panel groups
+    monkeypatch.setattr(gcp, "ATTN_CHUNK_BUDGET_ELEMS", 64)
+    grad = jax.grad(
+        lambda v: jnp.sum(jnp.sin(
+            gatv2_conv_colpanel(g, v, s_r, a, 0.2, group_panels=1)))
+    )(s_l)
+    np.testing.assert_allclose(np.asarray(grad), np.asarray(grad_ref),
+                               atol=1e-5)
+
+
 def test_layers_colpanel_flag_matches_default():
     g = _graph(seed=9)
     n = g.n_nodes
