@@ -83,6 +83,17 @@ ATTN_GROUP_PANELS = 2
 # bound, so the lost overlap is noise.
 SERIALIZE_GROUPS = True
 
+# Pack the v1 per-panel source-logit table [w, H·F] (f-replicated per-head
+# values — H real floats per row) as [ceil(w/F), F·H]: F consecutive panel
+# rows per packed row, lane = (r % F)·H + head. Slot gathers read the SAME
+# bytes per slot but from an F-times-smaller buffer — and the gather rate
+# is set by the buffer the gather reads, not the index range (CLAUDE.md
+# r3; materializing panel slices was 588 -> 370 ms at products for the
+# same reason). The slot's per-head logits are recovered by masking the
+# F-1 wrong lane groups to -inf and reducing — no per-slot dynamic
+# slicing. Off by default until measured at products scale.
+PACK_LOGIT_TABLES = False
+
 
 def check_gat_colpanel(graph, senders=None, receivers=None, weights=None) -> None:
     """Host-side guard for the ``vals != 0`` validity inference (call once
@@ -351,13 +362,21 @@ def _gat_v1_impl(pe, s, a_src, a_dst, negative_slope, attn_dropout,
     rep = lambda t: jnp.repeat(t, f, axis=-1)
     s2 = s.reshape(n, hf)
 
+    packed = PACK_LOGIT_TABLES and f > 1
+
     def panel_tables(start, width):
         # the source logit's panel slice is computed FROM the feature slice
         # (one tiny einsum per panel) instead of slicing a full [N, H·F]
         # f-replicated source-logit table: at products scale that table and
         # its broadcast/reshape copies cost ~2.4 GB of the HBM schedule.
         xg = _slice_table(s2, start, width)
-        xl = rep(jnp.einsum("whf,hf->wh", xg.reshape(-1, h, f), a_src))
+        xl_h = jnp.einsum("whf,hf->wh", xg.reshape(-1, h, f), a_src)
+        if packed:
+            w = xl_h.shape[0]
+            npk = -(-w // f)
+            xl = jnp.pad(xl_h, ((0, npk * f - w), (0, 0))).reshape(npk, hf)
+        else:
+            xl = rep(xl_h)
         return xg, xl
 
     def logits(xl, cols2, vals2, rows1):
@@ -368,9 +387,23 @@ def _gat_v1_impl(pe, s, a_src, a_dst, negative_slope, attn_dropout,
         k = cols2.shape[1]
         valid = (vals2 != 0)[..., None]  # [nb, k, 1]
         flat = cols2.reshape(-1)
-        lsrc = jnp.take(xl, flat, axis=0).reshape(nb, k, hf)
         srow = jnp.take(s2, rows1, axis=0).reshape(nb, h, f)
-        ldst = rep(jnp.einsum("bhf,hf->bh", srow, a_dst))[:, None, :]
+        ldst_h = jnp.einsum("bhf,hf->bh", srow, a_dst)
+        if packed:
+            # packed row u//f holds f slots' per-head logits; the slot's
+            # group (u % f) is selected by masking the rest to -inf (a
+            # reduce, not a per-slot dynamic slice)
+            lp = jnp.take(xl, flat // f, axis=0).reshape(nb, k, hf)
+            grp = (flat % f).reshape(nb, k)
+            onehot = grp[..., None] == jnp.arange(f, dtype=grp.dtype)
+            pre = lp + jnp.tile(ldst_h, (1, f))[:, None, :]
+            e4 = jax.nn.leaky_relu(pre, negative_slope).reshape(nb, k, f, h)
+            e_h = jnp.where(
+                onehot[..., None] & valid[..., None], e4, -jnp.inf
+            ).max(axis=2)  # [nb, k, h]
+            return rep(e_h), flat
+        lsrc = jnp.take(xl, flat, axis=0).reshape(nb, k, hf)
+        ldst = rep(ldst_h)[:, None, :]
         e = jax.nn.leaky_relu(lsrc + ldst, negative_slope)
         return jnp.where(valid, e, -jnp.inf), flat
 

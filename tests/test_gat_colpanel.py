@@ -92,6 +92,29 @@ def test_gat_colpanel_chunked_and_grouped(monkeypatch):
     np.testing.assert_allclose(np.asarray(out2), np.asarray(ref), atol=1e-5)
 
 
+def test_gat_colpanel_packed_logit_tables(monkeypatch):
+    import pygcn_tpu.ops.gat_colpanel as gcp
+
+    g = _graph(seed=21)
+    s, _, a_src, a_dst = _inputs(g.n_nodes, seed=22)
+    ref = gat_conv_colpanel(g, s, a_src, a_dst, 0.2)
+    grad_ref = jax.grad(
+        lambda v: jnp.sum(jnp.sin(gat_conv_colpanel(g, v, a_src, a_dst, 0.2)))
+    )(s)
+    monkeypatch.setattr(gcp, "PACK_LOGIT_TABLES", True)
+    out = gat_conv_colpanel(g, s, a_src, a_dst, 0.2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+    grad = jax.grad(
+        lambda v: jnp.sum(jnp.sin(gat_conv_colpanel(g, v, a_src, a_dst, 0.2)))
+    )(s)
+    np.testing.assert_allclose(np.asarray(grad), np.asarray(grad_ref),
+                               atol=1e-5)
+    # chunked sum-sweep path under packing
+    monkeypatch.setattr(gcp, "ATTN_CHUNK_BUDGET_ELEMS", 64)
+    out2 = gat_conv_colpanel(g, s, a_src, a_dst, 0.2, group_panels=1)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref), atol=1e-5)
+
+
 def test_gatv2_colpanel_matches_coo():
     g = _graph(seed=7)
     s_l, s_r, a, _ = _inputs(g.n_nodes, seed=8)

@@ -50,6 +50,9 @@ def main():
                     "(0 = keep)")
     ap.add_argument("--fine", action="store_true",
                     help="fine bucket ladder (fill 0.88 vs 0.56 at products)")
+    ap.add_argument("--packed", action="store_true",
+                    help="packed v1 source-logit tables (F-times-smaller "
+                    "gather buffers; ops/gat_colpanel.PACK_LOGIT_TABLES)")
     ap.add_argument("--memstats", action="store_true",
                     help="AOT-compile one application first and log the "
                     "compiled memory assignment (pins the HBM schedule)")
@@ -69,6 +72,8 @@ def main():
         gcp.ATTN_GROUP_PANELS = args.group
     if args.budget:
         gcp.ATTN_CHUNK_BUDGET_ELEMS = 1 << args.budget
+    if args.packed:
+        gcp.PACK_LOGIT_TABLES = True
 
     cpu = jax.devices("cpu")[0]
     rng = np.random.default_rng(0)
