@@ -108,6 +108,61 @@ def main():
     sent_ms = time_chained(s_fn, st, iters=8, reps=2, args=(sidx,)) * 1e3
     log(sentinel_gather_ms=round(sent_ms, 3))
 
+    if case in ("gat_step2", "gatv2_step2"):
+        # TWO-PROGRAM train step: the one-program step cannot fit the
+        # 15.75 GB chip (fwd alone assigns 12.58 GB and the backward adds
+        # >=3 more [N, H·F] tables — measured 16.25 GB at budget 1<<25,
+        # 18.7 at 1<<24 AOT). Structure the step as jit(fwd_with_residuals)
+        # + jit(bwd_from_residuals), residuals staying device-resident —
+        # the compile-splitting lesson from PERF_NOTES r3, applied as the
+        # production step structure rather than a timing trick. Reported
+        # time is one chained fwd+bwd pair per iteration.
+        h, f = GAT_H, GAT_F
+        s = jnp.asarray(rng.normal(size=(n, h, f)).astype(np.float32))
+        a1 = jnp.asarray(rng.normal(size=(h, f)).astype(np.float32) * 0.1)
+        a2 = jnp.asarray(rng.normal(size=(h, f)).astype(np.float32) * 0.1)
+        s.block_until_ready()
+        v2 = case.startswith("gatv2")
+        group = gcp.ATTN_GROUP_PANELS
+        if v2:
+            fwd_fn = jax.jit(lambda c, v, x1: gcp._gatv2_fwd(
+                0.2, group, True, c, v, v, x1))
+            bwd_fn = jax.jit(lambda res, d: gcp._gatv2_bwd(
+                0.2, group, True, res, d))
+        else:
+            fwd_fn = jax.jit(lambda c, v, x1, x2: gcp._gat_v1_fwd(
+                0.2, group, True, c, v, x1, x2))
+            bwd_fn = jax.jit(lambda res, d: gcp._gat_v1_bwd(
+                0.2, group, True, res, d))
+
+        def pair(v):
+            if v2:
+                out, res = fwd_fn(cp, v, a1)
+            else:
+                out, res = fwd_fn(cp, v, a1, a2)
+            grads = bwd_fn(res, jnp.ones_like(out))
+            return grads[1]  # ds
+
+        # warm both compiles, then time chained pairs (host dispatch per
+        # pair rides the tunnel; both compiles are cached after iter 1)
+        t0c = time.time()
+        ds = pair(s)
+        jax.block_until_ready(ds)
+        log(case=case, compile_plus_first_s=time.time() - t0c)
+        t0 = time.time()
+        reps = args.iters
+        v = s
+        for _ in range(reps):
+            ds = pair(v)
+            v = v + 1e-30 * ds  # chain: each pair depends on the previous
+        # materialize a scalar to close the async chain
+        float(jnp.sum(v[0]))
+        t = (time.time() - t0) / reps
+        log(case=case, t_ms=t * 1e3, edges_per_s=n_edges / t,
+            note="two-program step; per-pair host dispatch included")
+        log(stage="done")
+        return
+
     if case in ("gat_fwd", "gat_step", "gatv2_fwd", "gatv2_step"):
         h, f = GAT_H, GAT_F
         s = jnp.asarray(rng.normal(size=(n, h, f)).astype(np.float32))
