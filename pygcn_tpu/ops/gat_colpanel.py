@@ -807,3 +807,53 @@ def _gatv2_raw(negative_slope, group, ser, pe, s_l, s_r, a):
 
 _gatv2_pair = jax.custom_vjp(_gatv2_raw, nondiff_argnums=(0, 1, 2))
 _gatv2_pair.defvjp(_gatv2_fwd, _gatv2_bwd)
+
+
+def split_attention_step(
+    negative_slope: float = 0.2,
+    group_panels: int | None = None,
+    serialize: bool | None = None,
+    v2: bool = False,
+):
+    """Return ``(fwd, bwd)`` for a TWO-PROGRAM attention train step.
+
+    At products scale the ONE-program step cannot fit the v5e's 15.75 GB
+    HBM: the forward alone assigns 12.58 GB and the backward adds three
+    more ``[N, H·F']`` tables (16.25 GB measured at chunk budget 1<<25;
+    14.8 + 2.1 GB AOT at 1<<24). Compiling the custom-VJP halves as two
+    separate jitted programs — residuals staying device-resident between
+    them — fits each half with headroom. This is the production step
+    structure for >1M-node full-batch attention, not a timing trick
+    (PERF_NOTES r3 compile-splitting lesson promoted to API).
+
+    - v1: ``fwd(pe, s, a_src, a_dst) -> (out, res)``;
+      ``bwd(res, dout) -> (_, ds, da_src, da_dst)``.
+    - v2 (``v2=True``): ``fwd(pe, s_l, s_r, a) -> (out, res)``;
+      ``bwd(res, dout) -> (_, ds_l, ds_r, da)``.
+
+    Wrap each in ``jax.jit`` at the call site (the returned functions are
+    pure). ``group_panels``/``serialize`` default like the convs.
+    """
+    ns = float(negative_slope)
+
+    def resolve(pe):
+        return _resolve(group_panels, serialize, pe)
+
+    if v2:
+        def fwd(pe, s_l, s_r, a):
+            g, ser = resolve(pe)
+            return _gatv2_fwd(ns, g, ser, pe, s_l, s_r, a)
+
+        def bwd(res, dout):
+            g, ser = resolve(res[0])
+            return _gatv2_bwd(ns, g, ser, res, dout)
+    else:
+        def fwd(pe, s, a_src, a_dst):
+            g, ser = resolve(pe)
+            return _gat_v1_fwd(ns, g, ser, pe, s, a_src, a_dst)
+
+        def bwd(res, dout):
+            g, ser = resolve(res[0])
+            return _gat_v1_bwd(ns, g, ser, res, dout)
+
+    return fwd, bwd

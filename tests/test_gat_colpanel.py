@@ -179,6 +179,37 @@ def test_layers_colpanel_flag_matches_default():
     )
 
 
+def test_split_attention_step_matches_one_program():
+    from pygcn_tpu.ops.gat_colpanel import split_attention_step
+
+    g = _graph(seed=23)
+    s, _, a_src, a_dst = _inputs(g.n_nodes, seed=24)
+    pe = g.colpanel
+    fwd, bwd = split_attention_step(0.2)
+    out, res = jax.jit(fwd)(pe, s, a_src, a_dst)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(gat_conv_colpanel(g, s, a_src, a_dst, 0.2)),
+        atol=1e-5)
+    ct = jnp.cos(out)  # d/dout of sum(sin(out))
+    grads = jax.jit(bwd)(res, ct)
+    ref = jax.grad(
+        lambda v: jnp.sum(jnp.sin(gat_conv_colpanel(g, v, a_src, a_dst, 0.2)))
+    )(s)
+    np.testing.assert_allclose(np.asarray(grads[1]), np.asarray(ref), atol=1e-5)
+
+    fwd2, bwd2 = split_attention_step(0.2, v2=True)
+    s_l, s_r, a, _ = _inputs(g.n_nodes, seed=25)
+    out2, res2 = jax.jit(fwd2)(pe, s_l, s_r, a)
+    np.testing.assert_allclose(
+        np.asarray(out2),
+        np.asarray(gatv2_conv_colpanel(g, s_l, s_r, a, 0.2)), atol=1e-5)
+    g2 = jax.jit(bwd2)(res2, jnp.cos(out2))
+    ref2 = jax.grad(
+        lambda v: jnp.sum(jnp.sin(gatv2_conv_colpanel(g, v, s_r, a, 0.2)))
+    )(s_l)
+    np.testing.assert_allclose(np.asarray(g2[1]), np.asarray(ref2), atol=1e-5)
+
+
 def test_attn_dropout_runs_and_masks():
     g = _graph(seed=13)
     s, _, a_src, a_dst = _inputs(g.n_nodes, seed=14)
