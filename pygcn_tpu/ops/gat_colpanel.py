@@ -827,9 +827,13 @@ def split_attention_step(
     (PERF_NOTES r3 compile-splitting lesson promoted to API).
 
     - v1: ``fwd(pe, s, a_src, a_dst) -> (out, res)``;
-      ``bwd(res, dout) -> (_, ds, da_src, da_dst)``.
+      ``bwd(res, dout) -> (ds, da_src, da_dst)``.
     - v2 (``v2=True``): ``fwd(pe, s_l, s_r, a) -> (out, res)``;
-      ``bwd(res, dout) -> (_, ds_l, ds_r, da)``.
+      ``bwd(res, dout) -> (ds_l, ds_r, da)``.
+
+    Unlike the one-program custom-VJP contract, ``bwd`` drops the layout
+    cotangent (a ~1 GB zeros pytree at products scale) — XLA dead-code-
+    eliminates its buffers from the backward program entirely.
 
     Wrap each in ``jax.jit`` at the call site (the returned functions are
     pure). ``group_panels``/``serialize`` default like the convs.
@@ -846,7 +850,7 @@ def split_attention_step(
 
         def bwd(res, dout):
             g, ser = resolve(res[0])
-            return _gatv2_bwd(ns, g, ser, res, dout)
+            return _gatv2_bwd(ns, g, ser, res, dout)[1:]
     else:
         def fwd(pe, s, a_src, a_dst):
             g, ser = resolve(pe)
@@ -854,6 +858,6 @@ def split_attention_step(
 
         def bwd(res, dout):
             g, ser = resolve(res[0])
-            return _gat_v1_bwd(ns, g, ser, res, dout)
+            return _gat_v1_bwd(ns, g, ser, res, dout)[1:]
 
     return fwd, bwd

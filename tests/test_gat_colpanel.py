@@ -195,7 +195,7 @@ def test_split_attention_step_matches_one_program():
     ref = jax.grad(
         lambda v: jnp.sum(jnp.sin(gat_conv_colpanel(g, v, a_src, a_dst, 0.2)))
     )(s)
-    np.testing.assert_allclose(np.asarray(grads[1]), np.asarray(ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(grads[0]), np.asarray(ref), atol=1e-5)
 
     fwd2, bwd2 = split_attention_step(0.2, v2=True)
     s_l, s_r, a, _ = _inputs(g.n_nodes, seed=25)
@@ -207,7 +207,7 @@ def test_split_attention_step_matches_one_program():
     ref2 = jax.grad(
         lambda v: jnp.sum(jnp.sin(gatv2_conv_colpanel(g, v, s_r, a, 0.2)))
     )(s_l)
-    np.testing.assert_allclose(np.asarray(g2[1]), np.asarray(ref2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g2[0]), np.asarray(ref2), atol=1e-5)
 
 
 def test_attn_dropout_runs_and_masks():

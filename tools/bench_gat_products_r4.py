@@ -123,17 +123,12 @@ def main():
         a2 = jnp.asarray(rng.normal(size=(h, f)).astype(np.float32) * 0.1)
         s.block_until_ready()
         v2 = case.startswith("gatv2")
-        group = gcp.ATTN_GROUP_PANELS
+        fwd_raw, bwd_raw = gcp.split_attention_step(0.2, v2=v2)
         if v2:
-            fwd_fn = jax.jit(lambda c, v, x1: gcp._gatv2_fwd(
-                0.2, group, True, c, v, v, x1))
-            bwd_fn = jax.jit(lambda res, d: gcp._gatv2_bwd(
-                0.2, group, True, res, d))
+            fwd_fn = jax.jit(lambda c, v, x1: fwd_raw(c, v, v, x1))
         else:
-            fwd_fn = jax.jit(lambda c, v, x1, x2: gcp._gat_v1_fwd(
-                0.2, group, True, c, v, x1, x2))
-            bwd_fn = jax.jit(lambda res, d: gcp._gat_v1_bwd(
-                0.2, group, True, res, d))
+            fwd_fn = jax.jit(fwd_raw)
+        bwd_fn = jax.jit(bwd_raw)
 
         def pair(v):
             if v2:
@@ -141,7 +136,7 @@ def main():
             else:
                 out, res = fwd_fn(cp, v, a1, a2)
             grads = bwd_fn(res, jnp.ones_like(out))
-            return grads[1]  # ds
+            return grads[0]  # ds
 
         # warm both compiles, then time chained pairs (host dispatch per
         # pair rides the tunnel; both compiles are cached after iter 1)
