@@ -826,14 +826,22 @@ def split_attention_step(
     structure for >1M-node full-batch attention, not a timing trick
     (PERF_NOTES r3 compile-splitting lesson promoted to API).
 
-    - v1: ``fwd(pe, s, a_src, a_dst) -> (out, res)``;
-      ``bwd(res, dout) -> (ds, da_src, da_dst)``.
-    - v2 (``v2=True``): ``fwd(pe, s_l, s_r, a) -> (out, res)``;
-      ``bwd(res, dout) -> (ds_l, ds_r, da)``.
+    - v1: ``fwd(pe, s, a_src, a_dst) -> (out, aux)``;
+      ``bwd(pe, s, a_src, a_dst, out, aux, dout) -> (ds, da_src, da_dst)``.
+    - v2 (``v2=True``): ``fwd(pe, s_l, s_r, a) -> (out, aux)``;
+      ``bwd(pe, s_l, s_r, a, out, aux, dout) -> (ds_l, ds_r, da)``.
 
-    Unlike the one-program custom-VJP contract, ``bwd`` drops the layout
-    cotangent (a ~1 GB zeros pytree at products scale) — XLA dead-code-
-    eliminates its buffers from the backward program entirely.
+    Two contract changes vs the one-program custom VJP, both load-bearing
+    for the HBM schedule:
+
+    - ``aux`` carries ONLY the computed residuals ``(m, den)``. Routing
+      the INPUTS through the forward's outputs (the custom-VJP residual
+      convention) forces un-aliased output copies of the layout and
+      feature table — +2 GB at products scale; the first split fwd
+      compiled at 16.08 GB because of exactly this. The caller re-passes
+      its own device-resident inputs to ``bwd`` instead.
+    - ``bwd`` drops the layout cotangent (a ~1 GB zeros pytree) so XLA
+      dead-code-eliminates those buffers from the backward program.
 
     Wrap each in ``jax.jit`` at the call site (the returned functions are
     pure). ``group_panels``/``serialize`` default like the convs.
@@ -846,18 +854,22 @@ def split_attention_step(
     if v2:
         def fwd(pe, s_l, s_r, a):
             g, ser = resolve(pe)
-            return _gatv2_fwd(ns, g, ser, pe, s_l, s_r, a)
+            out, res = _gatv2_fwd(ns, g, ser, pe, s_l, s_r, a)
+            return out, (res[4], res[5])
 
-        def bwd(res, dout):
-            g, ser = resolve(res[0])
+        def bwd(pe, s_l, s_r, a, out, aux, dout):
+            g, ser = resolve(pe)
+            res = (pe, s_l, s_r, a, aux[0], aux[1], out)
             return _gatv2_bwd(ns, g, ser, res, dout)[1:]
     else:
         def fwd(pe, s, a_src, a_dst):
             g, ser = resolve(pe)
-            return _gat_v1_fwd(ns, g, ser, pe, s, a_src, a_dst)
+            out, res = _gat_v1_fwd(ns, g, ser, pe, s, a_src, a_dst)
+            return out, (res[4], res[5])
 
-        def bwd(res, dout):
-            g, ser = resolve(res[0])
+        def bwd(pe, s, a_src, a_dst, out, aux, dout):
+            g, ser = resolve(pe)
+            res = (pe, s, a_src, a_dst, aux[0], aux[1], out)
             return _gat_v1_bwd(ns, g, ser, res, dout)[1:]
 
     return fwd, bwd

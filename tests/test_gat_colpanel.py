@@ -186,12 +186,12 @@ def test_split_attention_step_matches_one_program():
     s, _, a_src, a_dst = _inputs(g.n_nodes, seed=24)
     pe = g.colpanel
     fwd, bwd = split_attention_step(0.2)
-    out, res = jax.jit(fwd)(pe, s, a_src, a_dst)
+    out, aux = jax.jit(fwd)(pe, s, a_src, a_dst)
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(gat_conv_colpanel(g, s, a_src, a_dst, 0.2)),
         atol=1e-5)
     ct = jnp.cos(out)  # d/dout of sum(sin(out))
-    grads = jax.jit(bwd)(res, ct)
+    grads = jax.jit(bwd)(pe, s, a_src, a_dst, out, aux, ct)
     ref = jax.grad(
         lambda v: jnp.sum(jnp.sin(gat_conv_colpanel(g, v, a_src, a_dst, 0.2)))
     )(s)
@@ -199,11 +199,11 @@ def test_split_attention_step_matches_one_program():
 
     fwd2, bwd2 = split_attention_step(0.2, v2=True)
     s_l, s_r, a, _ = _inputs(g.n_nodes, seed=25)
-    out2, res2 = jax.jit(fwd2)(pe, s_l, s_r, a)
+    out2, aux2 = jax.jit(fwd2)(pe, s_l, s_r, a)
     np.testing.assert_allclose(
         np.asarray(out2),
         np.asarray(gatv2_conv_colpanel(g, s_l, s_r, a, 0.2)), atol=1e-5)
-    g2 = jax.jit(bwd2)(res2, jnp.cos(out2))
+    g2 = jax.jit(bwd2)(pe, s_l, s_r, a, out2, aux2, jnp.cos(out2))
     ref2 = jax.grad(
         lambda v: jnp.sum(jnp.sin(gatv2_conv_colpanel(g, v, s_r, a, 0.2)))
     )(s_l)

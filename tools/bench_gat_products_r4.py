@@ -126,16 +126,19 @@ def main():
         fwd_raw, bwd_raw = gcp.split_attention_step(0.2, v2=v2)
         if v2:
             fwd_fn = jax.jit(lambda c, v, x1: fwd_raw(c, v, v, x1))
+            bwd_fn = jax.jit(
+                lambda c, v, x1, out, aux, d: bwd_raw(c, v, v, x1, out, aux, d))
         else:
             fwd_fn = jax.jit(fwd_raw)
-        bwd_fn = jax.jit(bwd_raw)
+            bwd_fn = jax.jit(bwd_raw)
 
         def pair(v):
             if v2:
-                out, res = fwd_fn(cp, v, a1)
+                out, aux = fwd_fn(cp, v, a1)
+                grads = bwd_fn(cp, v, a1, out, aux, jnp.ones_like(out))
             else:
-                out, res = fwd_fn(cp, v, a1, a2)
-            grads = bwd_fn(res, jnp.ones_like(out))
+                out, aux = fwd_fn(cp, v, a1, a2)
+                grads = bwd_fn(cp, v, a1, a2, out, aux, jnp.ones_like(out))
             return grads[0]  # ds
 
         # warm both compiles, then time chained pairs (host dispatch per
