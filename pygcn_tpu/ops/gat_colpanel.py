@@ -312,7 +312,10 @@ def _scan_chunks(body, carry, cols, vals, rows, k: int, hf: int, budget: int):
     carry, outs = jax.lax.scan(
         lambda c, cvr: body(c, *cvr), carry, (cols_p, vals_p, rows_p)
     )
-    return carry, outs.reshape(n_chunks * rpc, hf)[:nb]
+    # infer the per-vrow payload width: v1's dld rides head-compressed
+    # [.., H] (f-replicated lanes carry no information; a full [N, H·F]
+    # accumulator costs 16x at products scale), v2's dsr stays [.., H·F]
+    return carry, outs.reshape(n_chunks * rpc, outs.shape[-1])[:nb]
 
 
 def gat_conv_colpanel(
@@ -455,7 +458,14 @@ def _gat_v1_fwd(negative_slope, group, ser, pe, s, a_src, a_dst):
     out, m, den = _gat_v1_impl(
         pe, s, a_src, a_dst, negative_slope, None, group, ser
     )
-    return out, (pe, s, a_src, a_dst, m, den, out)
+    # residuals are saved HEAD-compressed: m/den are exactly f-replicated
+    # (every lane within a head carries the head value), so the [N, H·F]
+    # tables cost F× their information — 1.17 GB each at products scale,
+    # and the pair pushed the split backward 855 MB over the 15.75 GB chip
+    n, h, f = s.shape
+    m_h = m.reshape(n, h, f)[:, :, 0]
+    den_h = den.reshape(n, h, f)[:, :, 0]
+    return out, (pe, s, a_src, a_dst, m_h, den_h, out)
 
 
 def _gat_v1_bwd(negative_slope, group, ser, res, dout):
@@ -478,22 +488,25 @@ def _gat_v1_bwd(negative_slope, group, ser, res, dout):
     rate) and land in ds2 via ONE contiguous slice-add per panel — the
     in-place chain autodiff could not produce (its per-use cotangents
     assigned 139.95 GB at products scale; PERF_NOTES r5)."""
-    pe, s, a_src, a_dst, m, den, out = res
+    pe, s, a_src, a_dst, m_h, den_h, out = res  # m_h/den_h: [N, H]
     n, h, f = s.shape
     hf = h * f
     rep = lambda t: jnp.repeat(t, f, axis=-1)
     s2 = s.reshape(n, hf)
     out2 = out.reshape(n, hf)
     dout2 = dout.reshape(n, hf)
-    deng = jnp.maximum(den, 1e-16)
-    p_tab = dout2 / deng  # [N, hf]
-    q_head = (dout2 * out2 / deng).reshape(n, h, f).sum(axis=-1)  # [N, h]
-    q_tab = rep(q_head)  # [N, hf]
+    # NO full-size [N, H·F] derived tables here: p (=dout/den) and q are
+    # re-gathered per chunk from dout2 and the [N, H] residuals instead —
+    # p_tab + q_tab + an f-replicated dld accumulator were 3× 1.17 GB of
+    # coexisting HLO temps at products scale (split bwd measured 16.58 GB
+    # vs the 15.75 GB chip; head-compressed it fits)
+    deng_h = jnp.maximum(den_h, 1e-16)  # [N, h]
+    q_head = (dout2 * out2).reshape(n, h, f).sum(axis=-1) / deng_h  # [N, h]
     asrc_flat = a_src.reshape(hf)
     adst_flat = a_dst.reshape(hf)
 
     ds2 = jnp.zeros((n, hf), s.dtype)
-    dld = jnp.zeros((n, hf), s.dtype)
+    dld_h = jnp.zeros((n, h), s.dtype)
     dasrc = jnp.zeros((1, hf), s.dtype)
 
     for g0 in range(0, len(pe.panels), group):
@@ -508,12 +521,12 @@ def _gat_v1_bwd(negative_slope, group, ser, res, dout):
         if ser and g0 > 0:
             nbk = len(buckets)
             gated = jax.lax.optimization_barrier(
-                (ds2, dld, dasrc)
+                (ds2, dld_h, dasrc)
                 + tuple(b[2] for b in buckets)
                 + tuple(b[3] for b in buckets)
                 + tuple(b[4] for b in buckets)
             )
-            ds2, dld, dasrc = gated[:3]
+            ds2, dld_h, dasrc = gated[:3]
             buckets = [
                 (pi, bi, gated[3 + i], gated[3 + nbk + i],
                  gated[3 + 2 * nbk + i], k)
@@ -542,12 +555,13 @@ def _gat_v1_bwd(negative_slope, group, ser, res, dout):
                 pre = lsrc + ldst
                 e = jnp.where(valid, jax.nn.leaky_relu(pre, negative_slope),
                               -jnp.inf)
-                sh = jnp.take(m, rows1, axis=0)
-                sh = jnp.where(jnp.isfinite(sh), sh, 0.0)[:, None, :]
+                sh = jnp.take(m_h, rows1, axis=0)  # [nb, h]
+                sh = rep(jnp.where(jnp.isfinite(sh), sh, 0.0))[:, None, :]
                 ex = jnp.exp(e - sh)  # [nb, k, hf]
                 g3 = jnp.take(xg, flat, axis=0).reshape(nb, kk, hf)
-                pr = jnp.take(p_tab, rows1, axis=0)[:, None, :]
-                qr = jnp.take(q_tab, rows1, axis=0)[:, None, :]
+                den_r = rep(jnp.take(deng_h, rows1, axis=0))  # [nb, hf]
+                pr = (jnp.take(dout2, rows1, axis=0) / den_r)[:, None, :]
+                qr = rep(jnp.take(q_head, rows1, axis=0))[:, None, :]
                 s1 = rep((g3 * pr).reshape(nb, kk, h, f).sum(axis=-1))
                 de = ex * (s1 - qr)
                 # >= 0 matches jax.nn.leaky_relu's autodiff convention at 0
@@ -556,20 +570,23 @@ def _gat_v1_bwd(negative_slope, group, ser, res, dout):
                 contrib = ex * pr + dpre * asrc_flat[None, None, :]
                 dxg_c = dxg_c.at[flat].add(contrib.reshape(-1, hf))
                 dasrc_c = dasrc_c + (dpre * g3).sum(axis=(0, 1))[None, :]
-                return (dxg_c, dasrc_c), dpre.sum(axis=1)  # [nb, hf]
+                # dpre is exactly f-replicated (every factor in de is) —
+                # emit the head-compressed [nb, h] payload
+                dld_b = dpre.sum(axis=1).reshape(nb, h, f)[:, :, 0]
+                return (dxg_c, dasrc_c), dld_b  # [nb, h]
 
             (dxgs[pi], dasrc), dld_b = _scan_chunks(
                 body, (dxgs[pi], dasrc), cols, vals, rows, k, hf,
                 ATTN_CHUNK_BUDGET_ELEMS,
             )
-            dld = dld.at[rows].add(dld_b)
+            dld_h = dld_h.at[rows].add(dld_b)
         for pi, dxg in dxgs.items():
             start = pe.starts[pi]
             ds2 = ds2.at[start : start + pe.widths[pi]].add(dxg)
 
     # receiver-side closure: ld = einsum(s2_row, a_dst) replicated
-    ds2 = ds2 + dld * adst_flat[None, :]
-    dadst = (dld * s2).reshape(n, h, f).sum(axis=0)
+    ds2 = ds2 + rep(dld_h) * adst_flat[None, :]
+    dadst = jnp.einsum("nh,nhf->hf", dld_h, s)
     dasrc_hf = dasrc[0].reshape(h, f)
     zeros_pe = jax.tree.map(jnp.zeros_like, pe)
     return zeros_pe, ds2.reshape(n, h, f), dasrc_hf, dadst
@@ -684,7 +701,12 @@ def _gatv2_fwd(negative_slope, group, ser, pe, s_l, s_r, a):
     out, m, den = _gatv2_impl(
         pe, s_l, s_r, a, negative_slope, None, group, ser
     )
-    return out, (pe, s_l, s_r, a, m, den, out)
+    # head-compressed residuals (see _gat_v1_fwd): m/den are exactly
+    # f-replicated; [N, H·F] copies cost 2.3 GB of args at products scale
+    n, h, f = s_l.shape
+    m_h = m.reshape(n, h, f)[:, :, 0]
+    den_h = den.reshape(n, h, f)[:, :, 0]
+    return out, (pe, s_l, s_r, a, m_h, den_h, out)
 
 
 def _gatv2_bwd(negative_slope, group, ser, res, dout):
@@ -705,7 +727,7 @@ def _gatv2_bwd(negative_slope, group, ser, res, dout):
     Source grads accumulate into panel-local [w, H·F] buffers followed by
     one contiguous slice-add each (the in-place chain autodiff could not
     produce: 121.10 GB assigned at products scale, PERF_NOTES r5)."""
-    pe, s_l, s_r, a, m, den, out = res
+    pe, s_l, s_r, a, m_h, den_h, out = res  # m_h/den_h: [N, H]
     n, h, f = s_l.shape
     hf = h * f
     rep = lambda t: jnp.repeat(t, f, axis=-1)
@@ -713,9 +735,11 @@ def _gatv2_bwd(negative_slope, group, ser, res, dout):
     sr2 = s_r.reshape(n, hf)
     out2 = out.reshape(n, hf)
     dout2 = dout.reshape(n, hf)
-    deng = jnp.maximum(den, 1e-16)
-    p_tab = dout2 / deng  # [N, hf]
-    q_tab = rep((dout2 * out2 / deng).reshape(n, h, f).sum(axis=-1))
+    # p/q re-gathered per chunk from dout2 + the [N, H] residuals — the
+    # full [N, H·F] p_tab/q_tab pair was 2.3 GB of coexisting temps at
+    # products scale (see _gat_v1_bwd)
+    deng_h = jnp.maximum(den_h, 1e-16)  # [N, h]
+    q_head = (dout2 * out2).reshape(n, h, f).sum(axis=-1) / deng_h  # [N, h]
 
     dsl = jnp.zeros((n, hf), s_l.dtype)
     dsr = jnp.zeros((n, hf), s_l.dtype)
@@ -766,12 +790,13 @@ def _gatv2_bwd(negative_slope, group, ser, res, dout):
                 e = jnp.where(
                     valid, rep(jnp.einsum("bkhf,hf->bkh", lk, a)), -jnp.inf
                 )
-                sh = jnp.take(m, rows1, axis=0)
-                sh = jnp.where(jnp.isfinite(sh), sh, 0.0)[:, None, :]
+                sh = jnp.take(m_h, rows1, axis=0)  # [nb, h]
+                sh = rep(jnp.where(jnp.isfinite(sh), sh, 0.0))[:, None, :]
                 ex = jnp.exp(e - sh)  # [nb, k, hf]
                 g_hf = g4.reshape(nb, kk, hf)
-                pr = jnp.take(p_tab, rows1, axis=0)[:, None, :]
-                qr = jnp.take(q_tab, rows1, axis=0)[:, None, :]
+                den_r = rep(jnp.take(deng_h, rows1, axis=0))  # [nb, hf]
+                pr = (jnp.take(dout2, rows1, axis=0) / den_r)[:, None, :]
+                qr = rep(jnp.take(q_head, rows1, axis=0))[:, None, :]
                 s1 = rep((g_hf * pr).reshape(nb, kk, h, f).sum(axis=-1))
                 de = ex * (s1 - qr)  # [nb, k, hf]; constant across f lanes
                 de_h = de.reshape(nb, kk, h, f)[..., :1]  # [nb, k, h, 1]
